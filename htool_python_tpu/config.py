@@ -1,0 +1,69 @@
+"""Global precision / execution configuration.
+
+TPU-first precision policy: the MXU natively computes f32 (bf16 inputs);
+float64 is emulated and slow.  The reference library is double-precision
+throughout, so accuracy parity (epsilon = 1e-6, golden complex128 data)
+requires x64 — but the production TPU path should run f32 at epsilon ~1e-3
+(cf. BASELINE.md stage configs).  Precision is therefore a first-class,
+explicit knob rather than an ambient global.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+
+
+def use_x64(enable: bool = True) -> None:
+    """Enable/disable 64-bit JAX types (needed for reference-accuracy parity)."""
+    jax.config.update("jax_enable_x64", enable)
+
+
+@dataclasses.dataclass
+class Config:
+    """Framework-wide defaults. Mutable singleton accessed via get_config()."""
+
+    # dtype used for real coefficient data when the caller does not specify
+    real_dtype: np.dtype = dataclasses.field(default_factory=lambda: np.dtype(np.float64))
+    complex_dtype: np.dtype = dataclasses.field(default_factory=lambda: np.dtype(np.complex128))
+    # dtype for coordinates / geometry work on host
+    coord_dtype: np.dtype = dataclasses.field(default_factory=lambda: np.dtype(np.float64))
+    # padding granularity for block buckets (lane dim on TPU is 128; small
+    # H-matrix leaves would waste enormously at 128, so we bucket by powers
+    # of two and let XLA lay out the batch dim on the lanes instead)
+    bucket_rounding: int = 2  # round block dims up to powers of this
+    min_bucket_dim: int = 8
+    # maximum ACA rank as a fraction of min(block dims); safety cap
+    max_rank_ratio: float = 0.5
+
+    def default_dtype(self, is_complex: bool) -> np.dtype:
+        return self.complex_dtype if is_complex else self.real_dtype
+
+
+_CONFIG = Config()
+
+
+def get_config() -> Config:
+    return _CONFIG
+
+
+def set_precision(mode: str) -> None:
+    """Set the global precision mode: 'f32' (TPU production) or 'f64' (parity)."""
+    cfg = get_config()
+    if mode == "f32":
+        cfg.real_dtype = np.dtype(np.float32)
+        cfg.complex_dtype = np.dtype(np.complex64)
+    elif mode == "f64":
+        cfg.real_dtype = np.dtype(np.float64)
+        cfg.complex_dtype = np.dtype(np.complex128)
+        use_x64(True)
+    else:
+        raise ValueError(f"unknown precision mode {mode!r} (want 'f32' or 'f64')")
+
+
+# Allow opting into x64 via environment for scripts/tests.
+if os.environ.get("HTOOL_TPU_X64", "").lower() in ("1", "true", "yes"):
+    use_x64(True)

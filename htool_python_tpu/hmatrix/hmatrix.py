@@ -1,0 +1,353 @@
+"""HMatrix: the compressed hierarchical operator, and its tree builder.
+
+Reference parity: `HMatrix` / `HMatrixTreeBuilder`
+(src/htool/hmatrix/hmatrix.hpp:27-139, hmatrix_tree_builder.hpp:10-44).
+State is a host-side BlockPlan + per-bucket device arrays (a pytree), so
+products jit/shard cleanly.  Products run in the cluster-internal numbering
+on device; user-numbering permutations are applied at the boundary
+(convention pinned at tests/test_distributed_operator.py:105-129:
+x_internal = x_user[perm], y_user[perm] = y_internal).
+"""
+
+from __future__ import annotations
+
+import copy as _copy
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..clustering.cluster import Cluster
+from ..config import get_config
+from ..ops.matvec import apply_hmatrix_padded, pack_bucket_data
+from .assembly import assemble
+from .plan import BlockPlan, build_block_plan
+
+
+class HMatrix:
+    """Compressed operator over (target_cluster × source_cluster)."""
+
+    def __init__(self, plan: BlockPlan, dense_arrays, lr_arrays, lr_ranks,
+                 epsilon, dtype):
+        self.plan = plan
+        self._data = pack_bucket_data(plan.dense_buckets, dense_arrays,
+                                      plan.lowrank_buckets, lr_arrays)
+        self._lr_ranks = [np.asarray(r) for r in lr_ranks]
+        self.epsilon = float(epsilon)
+        self.eta = float(plan.eta)
+        self.symmetry = plan.symmetry
+        self.UPLO = plan.UPLO
+        self.dtype = np.dtype(dtype)
+        self._factorization = None  # set by lu/cholesky_factorization
+
+        nt, ns = plan.nb_rows, plan.nb_cols
+        maxdim = max([b.pt for b in plan.dense_buckets + plan.lowrank_buckets]
+                     + [b.ps for b in plan.dense_buckets + plan.lowrank_buckets]
+                     + [1])
+        self._pad_len = max(nt, ns) + maxdim
+
+    # ------------------------------------------------------------------
+    @property
+    def shape(self):
+        return (self.plan.nb_rows, self.plan.nb_cols)
+
+    @property
+    def nb_rows(self):
+        return self.plan.nb_rows
+
+    @property
+    def nb_cols(self):
+        return self.plan.nb_cols
+
+    def get_target_cluster(self) -> Cluster:
+        return self.plan.target_cluster
+
+    def get_source_cluster(self) -> Cluster:
+        return self.plan.source_cluster
+
+    def is_root(self) -> bool:
+        """True if this H-matrix covers the full target and source trees."""
+        p = self.plan
+        return (p.target_offset == 0
+                and p.nb_rows == len(p.target_root.get_permutation())
+                and p.source_offset == 0
+                and p.nb_cols == len(p.source_root.get_permutation()))
+
+    # ------------------------------------------------------------------
+    # products
+    def _apply_internal_2d(self, x2d, trans: str):
+        """x2d: (nin, k) in internal numbering. Returns (nout, k)."""
+        nt, ns = self.shape
+        nin = ns if trans == "N" else nt
+        nout = nt if trans == "N" else ns
+        if x2d.shape[0] != nin:
+            raise ValueError(f"expected input of size {nin}, got {x2d.shape[0]}")
+        dtype = np.result_type(self.dtype, x2d.dtype)
+        x_pad = jnp.zeros((self._pad_len, x2d.shape[1]), dtype=dtype)
+        x_pad = x_pad.at[:nin].set(jnp.asarray(x2d, dtype=dtype))
+        y_pad = apply_hmatrix_padded(self._data, x_pad, self._pad_len,
+                                     trans, self.symmetry)
+        return y_pad[:nout]
+
+    def matvec_internal(self, x, trans: str = "N"):
+        x = jnp.asarray(x)
+        squeeze = x.ndim == 1
+        y = self._apply_internal_2d(x[:, None] if squeeze else x, trans)
+        return y[:, 0] if squeeze else y
+
+    def matvec(self, x, trans: str = "N"):
+        """Product in user numbering (root H-matrices).  For sub-blocks
+        (local H-matrices) internal == local numbering; use matvec_internal."""
+        if not self.is_root():
+            return np.asarray(self.matvec_internal(x, trans))
+        perm_t = self.plan.target_root.get_permutation()
+        perm_s = self.plan.source_root.get_permutation()
+        perm_in = perm_s if trans == "N" else perm_t
+        perm_out = perm_t if trans == "N" else perm_s
+        x = np.asarray(x)
+        y_int = np.asarray(self.matvec_internal(x[perm_in], trans))
+        y = np.empty(y_int.shape, dtype=y_int.dtype)
+        y[perm_out] = y_int
+        return y
+
+    def __mul__(self, x):
+        x = np.asarray(x)
+        if x.ndim != 1:
+            raise ValueError("use @ for matrices")
+        return self.matvec(x)
+
+    def __matmul__(self, X):
+        X = np.asarray(X)
+        if X.ndim == 1:
+            return self.matvec(X)
+        return self.matvec(X)
+
+    # ------------------------------------------------------------------
+    # densification
+    def to_dense(self) -> np.ndarray:
+        """Dense matrix in the cluster-internal numbering of this block."""
+        nt, ns = self.shape
+        out = np.zeros((nt, ns), dtype=self.dtype)
+        for (D, t_off, s_off, mirror), b in zip(self._data["dense"],
+                                                self.plan.dense_buckets):
+            Dh = np.asarray(D)
+            for i in range(b.nb):
+                blk = Dh[i, :b.t_sz[i], :b.s_sz[i]]
+                out[b.t_off[i]:b.t_off[i] + b.t_sz[i],
+                    b.s_off[i]:b.s_off[i] + b.s_sz[i]] = blk
+                if b.mirror[i]:
+                    m = blk.conj().T if self.symmetry == "H" else blk.T
+                    out[b.s_off[i]:b.s_off[i] + b.s_sz[i],
+                        b.t_off[i]:b.t_off[i] + b.t_sz[i]] = m
+        for (U, V, t_off, s_off, mirror), b in zip(self._data["lr"],
+                                                   self.plan.lowrank_buckets):
+            Uh, Vh = np.asarray(U), np.asarray(V)
+            for i in range(b.nb):
+                blk = Uh[i, :b.t_sz[i], :] @ Vh[i, :, :b.s_sz[i]]
+                out[b.t_off[i]:b.t_off[i] + b.t_sz[i],
+                    b.s_off[i]:b.s_off[i] + b.s_sz[i]] = blk
+                if b.mirror[i]:
+                    m = blk.conj().T if self.symmetry == "H" else blk.T
+                    out[b.s_off[i]:b.s_off[i] + b.s_sz[i],
+                        b.t_off[i]:b.t_off[i] + b.t_sz[i]] = m
+        return out
+
+    def to_dense_in_user_numbering(self) -> np.ndarray:
+        """Dense matrix with rows/cols in user numbering.  For sub-blocks the
+        rows/cols are this block's points ordered by ascending user index."""
+        a = self.to_dense()
+        p = self.plan
+        perm_t = p.target_root.get_permutation()[
+            p.target_offset:p.target_offset + p.nb_rows]
+        perm_s = p.source_root.get_permutation()[
+            p.source_offset:p.source_offset + p.nb_cols]
+        if self.is_root():
+            out = np.empty_like(a)
+            out[np.ix_(perm_t, perm_s)] = a
+            return out
+        rt = np.argsort(perm_t)
+        rs = np.argsort(perm_s)
+        return a[np.ix_(rt, rs)]
+
+    # ------------------------------------------------------------------
+    # factorizations (reference: hmatrix.hpp:58-94); implemented in
+    # factorization.py; in-place contract matches the reference (deepcopy
+    # before factorizing, example/use_ddm_solver.py:49-51)
+    def lu_factorization(self):
+        from .factorization import lu_factorization
+        lu_factorization(self)
+
+    def cholesky_factorization(self, UPLO: str = "L"):
+        from .factorization import cholesky_factorization
+        cholesky_factorization(self, UPLO)
+
+    def lu_solve(self, trans: str, b):
+        from .factorization import lu_solve
+        return lu_solve(self, trans, b)
+
+    def cholesky_solve(self, UPLO: str, b):
+        from .factorization import cholesky_solve
+        return cholesky_solve(self, UPLO, b)
+
+    # ------------------------------------------------------------------
+    def __deepcopy__(self, memo):
+        new = object.__new__(HMatrix)
+        new.plan = self.plan  # immutable plan shared
+        new._data = self._data  # jnp arrays immutable -> safe to share
+        new._lr_ranks = [r.copy() for r in self._lr_ranks]
+        new.epsilon = self.epsilon
+        new.eta = self.eta
+        new.symmetry = self.symmetry
+        new.UPLO = self.UPLO
+        new.dtype = self.dtype
+        new._factorization = None
+        new._pad_len = self._pad_len
+        return new
+
+    # ------------------------------------------------------------------
+    # info dicts (reference: get_tree_parameters / get_local_information /
+    # get_distributed_information, hmatrix.hpp:50-54)
+    def get_tree_parameters(self) -> dict:
+        return {
+            "Epsilon": str(self.epsilon),
+            "Eta": str(self.eta),
+            "Symmetry": self.symmetry,
+            "UPLO": self.UPLO,
+            "Minimal_target_depth": str(self.plan.minimal_target_depth),
+            "Minimal_source_depth": str(self.plan.minimal_source_depth),
+            "Number_of_rows": str(self.plan.nb_rows),
+            "Number_of_columns": str(self.plan.nb_cols),
+        }
+
+    def _storage_counts(self):
+        nt, ns = self.shape
+        dense_entries = 0
+        for b in self.plan.dense_buckets:
+            dense_entries += int(np.sum(b.t_sz.astype(np.int64) * b.s_sz))
+            dense_entries += int(np.sum(
+                (b.t_sz.astype(np.int64) * b.s_sz) * b.mirror))
+        lr_entries = 0
+        ranks_all = []
+        for b, r in zip(self.plan.lowrank_buckets, self._lr_ranks):
+            e = r.astype(np.int64) * (b.t_sz + b.s_sz)
+            lr_entries += int(np.sum(e * (1 + b.mirror.astype(np.int64))))
+            ranks_all.append(r)
+        ranks_all = (np.concatenate(ranks_all) if ranks_all
+                     else np.zeros(0, np.int64))
+        return dense_entries, lr_entries, ranks_all
+
+    def get_local_information(self) -> dict:
+        nt, ns = self.shape
+        dense_e, lr_e, ranks = self._storage_counts()
+        total = max(nt * ns, 1)
+        stored = dense_e + lr_e
+        info = {
+            "Number_of_rows": str(nt),
+            "Number_of_columns": str(ns),
+            "Number_of_dense_blocks": str(self.plan.nb_dense_blocks()),
+            "Number_of_low_rank_blocks": str(self.plan.nb_lowrank_blocks()),
+            "Compression_ratio": str(total / max(stored, 1)),
+            "Space_saving": str(1.0 - stored / total),
+            "Storage_size_in_bytes": str(stored * self.dtype.itemsize),
+            "Min_rank": str(int(ranks.min()) if len(ranks) else 0),
+            "Max_rank": str(int(ranks.max()) if len(ranks) else 0),
+            "Mean_rank": str(float(ranks.mean()) if len(ranks) else 0.0),
+        }
+        return info
+
+    def get_distributed_information(self, comm=None) -> dict:
+        """Single-process aggregate (the mesh-distributed analog of the
+        reference's MPI-reduced stats, hmatrix.hpp:52-54)."""
+        info = self.get_local_information()
+        info["Number_of_partitions"] = str(
+            len(self.plan.target_root.tree.partition))
+        return info
+
+    # low-rank leaf access (for plotting / recompression)
+    def lowrank_leaves(self):
+        out = []
+        for (U, V, *_), b, r in zip(self._data["lr"],
+                                    self.plan.lowrank_buckets, self._lr_ranks):
+            out.append((np.asarray(U), np.asarray(V), b, r))
+        return out
+
+    def _set_lr_arrays(self, lr_arrays, lr_ranks):
+        """Replace low-rank factors in place (recompression support)."""
+        self._data = pack_bucket_data(
+            self.plan.dense_buckets,
+            [d[0] for d in self._data["dense"]],
+            self.plan.lowrank_buckets, lr_arrays)
+        self._lr_ranks = [np.asarray(r) for r in lr_ranks]
+
+
+class HMatrixTreeBuilder:
+    """Drives block-tree construction + compression (reference:
+    hmatrix_tree_builder.hpp:10-44)."""
+
+    def __init__(self, epsilon: float, eta: float, symmetry: str = "N",
+                 UPLO: str = "N", reqrank: int = -1, low_rank_strategy=None):
+        if symmetry not in ("N", "S", "H"):
+            raise ValueError("symmetry must be 'N', 'S' or 'H'")
+        if UPLO not in ("N", "L", "U"):
+            raise ValueError("UPLO must be 'N', 'L' or 'U'")
+        if symmetry in ("S", "H") and UPLO == "N":
+            raise ValueError("symmetric/hermitian requires UPLO 'L' or 'U'")
+        self.epsilon = float(epsilon)
+        self.eta = float(eta)
+        self.symmetry = symmetry
+        self.UPLO = UPLO
+        self.reqrank = int(reqrank)
+        self.low_rank_strategy = low_rank_strategy
+        self._low_rank_generator = None
+        self._dense_blocks_generator = None
+        self._minimal_target_depth = 0
+        self._minimal_source_depth = 0
+        self._block_tree_consistency = True
+        self._dtype = None
+
+    def set_low_rank_generator(self, gen):
+        self._low_rank_generator = gen
+
+    def set_dense_blocks_generator(self, gen):
+        self._dense_blocks_generator = gen
+
+    def set_minimal_target_depth(self, d: int):
+        self._minimal_target_depth = int(d)
+
+    def set_minimal_source_depth(self, d: int):
+        self._minimal_source_depth = int(d)
+
+    def set_block_tree_consistency(self, flag: bool):
+        self._block_tree_consistency = bool(flag)
+
+    def set_dtype(self, dtype):
+        self._dtype = dtype
+
+    def build(self, generator, target_cluster: Cluster, source_cluster: Cluster,
+              target_partition_number: int = -1,
+              partition_number_for_symmetry: int = -1) -> HMatrix:
+        t_node = target_cluster
+        if target_partition_number >= 0:
+            t_node = target_cluster.get_cluster_on_partition(
+                target_partition_number)
+        # symmetric structure only applies when target and source coincide
+        sym = self.symmetry
+        uplo = self.UPLO
+        if (t_node.tree is not source_cluster.tree
+                or t_node.node != source_cluster.node):
+            sym, uplo = "N", "N"
+        plan = build_block_plan(
+            t_node, source_cluster, self.eta, sym, uplo,
+            self._minimal_target_depth, self._minimal_source_depth,
+            target_root=Cluster(target_cluster.tree, 0),
+            source_root=Cluster(source_cluster.tree, 0),
+        )
+        dtype = self._dtype
+        if dtype is None:
+            dtype = get_config().default_dtype(
+                getattr(generator, "is_complex", False))
+        new_plan, dense_arrays, lr_arrays, lr_ranks = assemble(
+            plan, generator, self.epsilon, self.reqrank,
+            self._low_rank_generator, self._dense_blocks_generator, dtype)
+        return HMatrix(new_plan, dense_arrays, lr_arrays, lr_ranks,
+                       self.epsilon, dtype)

@@ -1,0 +1,44 @@
+"""Model kernels (jax-traceable), for KernelGenerator and benchmarks.
+
+These are the TPU-native analogs of the reference's example generators
+(example/define_generators.py:14-17 uses 1/(0.1 + |x - y|)); Laplace and
+Helmholtz Green kernels cover the BEM-style workloads H-matrices target.
+All kernels map broadcastable coordinate arrays (..., dim) -> (...,).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _dist(x, y):
+    return jnp.sqrt(jnp.sum((x - y) ** 2, axis=-1))
+
+
+def inverse_distance_kernel(shift: float = 1e-1):
+    """1 / (shift + |x - y|): the reference example/test kernel."""
+
+    def k(x, y):
+        return 1.0 / (shift + _dist(x, y))
+
+    return k
+
+
+def laplace_kernel(regularization: float = 1e-8):
+    """3-D Laplace single layer 1 / (4 pi |x - y|), regularized diagonal."""
+
+    def k(x, y):
+        r = _dist(x, y)
+        return 1.0 / (4.0 * jnp.pi * jnp.maximum(r, regularization))
+
+    return k
+
+
+def helmholtz_kernel(wavenumber: float, regularization: float = 1e-8):
+    """3-D Helmholtz single layer exp(i k r) / (4 pi r) (complex)."""
+
+    def k(x, y):
+        r = jnp.maximum(_dist(x, y), regularization)
+        return jnp.exp(1j * wavenumber * r) / (4.0 * jnp.pi * r)
+
+    return k

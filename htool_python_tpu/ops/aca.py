@@ -1,0 +1,158 @@
+"""Batched partial-pivot Adaptive Cross Approximation (device path).
+
+TPU-native equivalent of the reference core's default low-rank compressor
+(partial ACA [unverified default, SURVEY.md §2.2]; accuracy contract pinned
+by tests/test_hmatrix.py:83).  One bucket of equally-padded admissible
+blocks is compressed by a single `lax.fori_loop` over the candidate rank,
+with all blocks advancing in lockstep and per-block early convergence
+handled by masking — the TPU-idiomatic shape for data-dependent iteration.
+
+Entry evaluation goes through a device generator (KernelGenerator /
+MatrixGenerator): rows/cols are produced on the fly, so an admissible block
+costs O(rank * (m + n)) kernel evaluations, never O(m*n).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def batched_aca(gen, t_idx, s_idx, t_sz, s_sz, rmax: int, eps: float,
+                reqrank: int, dtype):
+    """Compress one bucket of admissible blocks.
+
+    gen       : device generator with device_rows / device_cols
+    t_idx     : (nb, pt) int32 user row indices (clamped in pad region)
+    s_idx     : (nb, ps) int32 user col indices
+    t_sz,s_sz : (nb,) actual block sizes
+    rmax      : static max rank (<= min(pt, ps))
+    eps       : blockwise relative Frobenius tolerance (ignored if reqrank>0)
+    reqrank   : fixed-rank mode when > 0 (reference `reqrank` ctor arg,
+                hmatrix_tree_builder.hpp:23)
+
+    Returns (U (nb,pt,rmax), V (nb,rmax,ps), ranks (nb,), ok (nb,)) with
+    columns >= rank zeroed.  ok=False => ACA did not converge (caller
+    densifies those blocks).
+    """
+    nb, pt = t_idx.shape
+    ps = s_idx.shape[1]
+    t_idx = jnp.asarray(t_idx, dtype=jnp.int32)
+    s_idx = jnp.asarray(s_idx, dtype=jnp.int32)
+    t_sz = jnp.asarray(t_sz, dtype=jnp.int32)
+    s_sz = jnp.asarray(s_sz, dtype=jnp.int32)
+    fixed_rank = reqrank > 0
+    niter = int(reqrank) if fixed_rank else int(rmax)
+    rdt = jnp.zeros((), dtype=dtype).real.dtype  # real scalar dtype
+
+    arange_nb = jnp.arange(nb)
+    row_pos = jnp.arange(pt, dtype=jnp.int32)[None, :]  # (1, pt)
+    col_pos = jnp.arange(ps, dtype=jnp.int32)[None, :]
+    row_valid = row_pos < t_sz[:, None]  # (nb, pt)
+    col_valid = col_pos < s_sz[:, None]
+
+    def body(k, state):
+        U, V, used, next_i, fro2, rank, stopped = state
+        i_k = next_i  # (nb,)
+        # residual row at i_k
+        rows = gen.device_rows(t_idx[arange_nb, i_k], s_idx)  # (nb, ps)
+        Ui = U[arange_nb, i_k]  # (nb, rmax)
+        rows = rows - jnp.einsum("nr,nrj->nj", Ui, V)
+        rows = jnp.where(col_valid, rows, 0)
+        absrow = jnp.abs(rows)
+        j_k = jnp.argmax(jnp.where(col_valid, absrow, -1.0), axis=1)
+        delta = rows[arange_nb, j_k]
+        zero_piv = jnp.abs(delta) <= jnp.finfo(rdt).tiny * 1e3
+        safe_delta = jnp.where(zero_piv, 1.0, delta)
+        v_k = rows / safe_delta[:, None]
+        # residual column at j_k
+        cols = gen.device_cols(t_idx, s_idx[arange_nb, j_k])  # (nb, pt)
+        Vj = V[arange_nb, :, j_k]  # (nb, rmax)
+        cols = cols - jnp.einsum("nir,nr->ni", U, Vj)
+        u_k = jnp.where(row_valid, cols, 0)
+
+        unorm2 = jnp.sum(jnp.abs(u_k) ** 2, axis=1)
+        vnorm2 = jnp.sum(jnp.abs(v_k) ** 2, axis=1)
+        c = jnp.einsum("nir,ni->nr", jnp.conj(U), u_k)
+        d = jnp.einsum("nrj,nj->nr", jnp.conj(V), v_k)
+        fro2_new = fro2 + unorm2 * vnorm2 + 2.0 * jnp.real(jnp.sum(c * d, axis=1))
+        fro2_new = jnp.maximum(fro2_new, 0.0)
+
+        accept = jnp.logical_not(stopped | zero_piv)
+        if fixed_rank:
+            converged = jnp.zeros((nb,), dtype=bool)
+        else:
+            converged = unorm2 * vnorm2 <= (eps * eps) * fro2_new
+        stopped_new = stopped | zero_piv | (accept & converged)
+
+        am = accept.astype(dtype)
+        U = U.at[:, :, k].set(u_k * am[:, None])
+        V = V.at[:, k, :].set(v_k * am[:, None])
+        used = used.at[arange_nb, i_k].set(used[arange_nb, i_k] | accept)
+        fro2 = jnp.where(accept, fro2_new, fro2)
+        rank = rank + accept.astype(jnp.int32)
+
+        # next row pivot: largest |u_k| among unused valid rows
+        cand = jnp.where(row_valid & jnp.logical_not(used), jnp.abs(u_k), -1.0)
+        next_i_new = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        next_i = jnp.where(stopped_new, i_k, next_i_new)
+        return U, V, used, next_i, fro2, rank, stopped_new
+
+    U0 = jnp.zeros((nb, pt, rmax), dtype=dtype)
+    V0 = jnp.zeros((nb, rmax, ps), dtype=dtype)
+    used0 = jnp.zeros((nb, pt), dtype=bool)
+    next_i0 = jnp.zeros((nb,), dtype=jnp.int32)
+    fro20 = jnp.zeros((nb,), dtype=rdt)
+    rank0 = jnp.zeros((nb,), dtype=jnp.int32)
+    stopped0 = jnp.zeros((nb,), dtype=bool)
+
+    U, V, used, next_i, fro2, rank, stopped = jax.lax.fori_loop(
+        0, niter, body, (U0, V0, used0, next_i0, fro20, rank0, stopped0))
+
+    if fixed_rank:
+        ok = jnp.ones((nb,), dtype=bool)
+    else:
+        # converged blocks stopped before exhausting rmax; also accept blocks
+        # whose full size is <= achieved rank (they are exactly represented)
+        full = rank >= jnp.minimum(t_sz, s_sz)
+        ok = stopped | full
+    return U, V, rank, ok
+
+
+def batched_truncate(U, V, ranks, eps: float, reqrank: int = -1):
+    """Batched QR+SVD re-truncation of padded low-rank factors.
+
+    Reference parity: `recompression(hmatrix)` (hmatrix/hmatrix.hpp:96-99)
+    and the post-ACA cleanup pass.  Relative Frobenius criterion per block,
+    matching the reference's custom-SVD example semantics
+    (example/advanced/define_custom_low_rank_generator.py:13-31).
+
+    Returns (U', V', ranks') with trailing columns zeroed.
+    """
+    dtype = U.dtype
+    nb, pt, r = U.shape
+    ps = V.shape[2]
+    if r == 0 or nb == 0:
+        return U, V, ranks
+    Qu, Ru = jnp.linalg.qr(U)  # (nb, pt, r), (nb, r, r)
+    Vh = jnp.conj(jnp.swapaxes(V, 1, 2))  # (nb, ps, r)
+    Qv, Rv = jnp.linalg.qr(Vh)
+    core = jnp.einsum("nij,nkj->nik", Ru, jnp.conj(Rv))  # Ru @ Rv^H (nb, r, r)
+    W, s, Zh = jnp.linalg.svd(core, full_matrices=False)
+    # per-block truncation rank: smallest r' with tail energy <= eps^2 * total
+    s2 = s * s
+    total = jnp.sum(s2, axis=1, keepdims=True)
+    tail = jnp.cumsum(s2[:, ::-1], axis=1)[:, ::-1]  # tail[i] = sum_{j>=i} s2
+    if reqrank > 0:
+        keep = jnp.arange(s.shape[1])[None, :] < reqrank
+    else:
+        keep = tail > (eps * eps) * jnp.maximum(total, jnp.finfo(s.dtype).tiny)
+    new_ranks = jnp.sum(keep, axis=1).astype(jnp.int32)
+    sk = jnp.where(keep, s, 0.0).astype(dtype)
+    Unew = jnp.einsum("nik,nkr->nir", Qu, W * sk[:, None, :])
+    Vnew = jnp.einsum("nrk,njk->nrj", Zh, jnp.conj(Qv))
+    # zero rows of V beyond rank (U already zeroed via sk)
+    rmask = (jnp.arange(s.shape[1])[None, :] < new_ranks[:, None])
+    Vnew = Vnew * rmask[:, :, None].astype(dtype)
+    return Unew, Vnew, new_ranks

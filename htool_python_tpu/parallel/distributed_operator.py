@@ -1,0 +1,161 @@
+"""DistributedOperator: row-partitioned global operator.
+
+Reference parity: `DistributedOperator`
+(src/htool/distributed_operator/distributed_operator.hpp:14-79): the target
+cluster is split into P partitions; partition p owns one optional
+local-to-local operator (its diagonal block) plus N global-to-local
+operators; `*`/`@` are global-to-global products (reference semantics
+pinned at tests/test_distributed_operator.py:87-103), and
+`internal_sub_vector_product_global_to_local` computes one partition's
+target segment from a window of the internal source vector
+(distributed_operator.hpp:67-78).
+
+TPU-native execution model: instead of P MPI processes each holding its
+rank's operators, ONE process holds every partition's operators (SPMD).
+Default-built operators are HMatrix block rows whose products run as
+batched device code; the reference's allgatherv step is a no-op here
+(results are already global in host memory) and becomes a
+`jax.lax.all_gather` when the partitions are laid out on a device mesh
+(see parallel/sharded.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..clustering.cluster import Cluster
+from .local_operator import (
+    LocalRenumbering,
+    RestrictedGlobalToLocalOperator,
+    VirtualLocalToLocalOperator,
+)
+
+
+class DistributedOperator:
+    def __init__(self, target_cluster: Cluster, source_cluster: Cluster,
+                 comm=None):
+        self.target_cluster = target_cluster
+        self.source_cluster = source_cluster
+        self.comm = comm  # accepted for parity; unused in single-process SPMD
+        self.n_partitions = target_cluster.nb_partitions()
+        # partition layout in internal numbering
+        self.t_offsets = np.array(
+            [target_cluster.get_cluster_on_partition(p).get_offset()
+             for p in range(self.n_partitions)], dtype=np.int64)
+        self.t_sizes = np.array(
+            [target_cluster.get_cluster_on_partition(p).get_size()
+             for p in range(self.n_partitions)], dtype=np.int64)
+        self._local_to_local = [None] * self.n_partitions
+        self._global_to_local = [[] for _ in range(self.n_partitions)]
+
+    # ------------------------------------------------------------------
+    @property
+    def shape(self):
+        return (self.target_cluster.get_size(), self.source_cluster.get_size())
+
+    def get_size_of_partition(self, p: int) -> int:
+        return int(self.t_sizes[p])
+
+    def _partition_of_target_offset(self, offset: int) -> int:
+        for p in range(self.n_partitions):
+            if self.t_offsets[p] == offset:
+                return p
+        raise ValueError(f"no target partition starts at offset {offset}")
+
+    def add_local_to_local_operator(self, op: VirtualLocalToLocalOperator,
+                                    partition: int | None = None) -> None:
+        if partition is None:
+            partition = self._partition_of_target_offset(
+                op.local_target_renumbering.offset)
+        self._local_to_local[partition] = op
+
+    def add_global_to_local_operator(self, op: RestrictedGlobalToLocalOperator,
+                                     partition: int | None = None) -> None:
+        if partition is None:
+            partition = self._partition_of_target_offset(
+                op.local_target_renumbering.offset)
+        self._global_to_local[partition].append(op)
+
+    # ------------------------------------------------------------------
+    def _apply_partition_internal(self, p: int, x_int: np.ndarray,
+                                  dtype) -> np.ndarray:
+        """Partition p's target segment of A_internal @ x_int (2-D x)."""
+        t_off, t_sz = int(self.t_offsets[p]), int(self.t_sizes[p])
+        y = np.zeros((t_sz,) + x_int.shape[1:], dtype=dtype)
+        multi = x_int.ndim == 2 and x_int.shape[1] > 1
+        l2l = self._local_to_local[p]
+        if l2l is not None:
+            s = l2l.local_source_renumbering
+            seg = np.ascontiguousarray(x_int[s.offset:s.offset + s.size])
+            if multi:
+                l2l.local_add_matrix_product_row_major("N", 1.0, seg, 1.0, y)
+            else:
+                l2l.local_add_vector_product("N", 1.0, seg, 1.0, y)
+        for op in self._global_to_local[p]:
+            s = op.local_source_renumbering
+            seg = np.ascontiguousarray(x_int[s.offset:s.offset + s.size])
+            if multi:
+                op.add_matrix_product_row_major("N", 1.0, seg, 1.0, y)
+            else:
+                op.add_vector_product("N", 1.0, seg, 1.0, y)
+        return y
+
+    def _result_dtype(self, x):
+        dts = [x.dtype]
+        for p in range(self.n_partitions):
+            if self._local_to_local[p] is not None and hasattr(
+                    self._local_to_local[p], "hmatrix"):
+                dts.append(self._local_to_local[p].hmatrix.dtype)
+            for op in self._global_to_local[p]:
+                if hasattr(op, "hmatrix"):
+                    dts.append(op.hmatrix.dtype)
+                elif hasattr(op, "data"):
+                    dts.append(op.data.dtype)
+        return np.result_type(*dts)
+
+    def matvec_global(self, x):
+        """Global-to-global product in user numbering (reference `*`/`@`)."""
+        x = np.asarray(x)
+        squeeze = x.ndim == 1
+        x2 = x[:, None] if squeeze else x
+        perm_s = self.source_cluster.get_permutation()
+        perm_t = self.target_cluster.get_permutation()
+        x_int = x2[perm_s]
+        dtype = self._result_dtype(x2)
+        y_int = np.zeros((self.shape[0],) + x2.shape[1:], dtype=dtype)
+        for p in range(self.n_partitions):
+            t_off, t_sz = int(self.t_offsets[p]), int(self.t_sizes[p])
+            y_int[t_off:t_off + t_sz] = self._apply_partition_internal(
+                p, x_int, dtype)
+        y = np.empty_like(y_int)
+        y[perm_t] = y_int
+        return y[:, 0] if squeeze else y
+
+    def __mul__(self, x):
+        x = np.asarray(x)
+        if x.ndim != 1:
+            raise ValueError("use @ for matrices")
+        if len(x) != self.shape[1]:
+            raise ValueError("size mismatch")
+        return self.matvec_global(x)
+
+    def __matmul__(self, X):
+        X = np.asarray(X)
+        if X.shape[0] != self.shape[1]:
+            raise ValueError("size mismatch")
+        return self.matvec_global(X)
+
+    # ------------------------------------------------------------------
+    def internal_sub_vector_product_global_to_local(self, x_window, offset,
+                                                    partition: int = 0):
+        """Partition's target segment of A_internal @ x where x is zero
+        outside the internal window [offset, offset+len(x_window))
+        (reference: distributed_operator.hpp:67-78)."""
+        x_window = np.asarray(x_window)
+        squeeze = x_window.ndim == 1
+        xw = x_window[:, None] if squeeze else x_window
+        dtype = self._result_dtype(xw)
+        x_int = np.zeros((self.shape[1],) + xw.shape[1:], dtype=dtype)
+        x_int[offset:offset + len(xw)] = xw
+        y = self._apply_partition_internal(partition, x_int, dtype)
+        return y[:, 0] if squeeze else y

@@ -1,0 +1,176 @@
+"""GenEO two-level coarse space.
+
+Reference parity (src/htool/solver/geneo/*,
+src/htool/solver/interfaces/virtual_coarse_space_builder.hpp):
+  * `GeneoCoarseSpaceDenseBuilder` (factories by nu / threshold,
+    coarse_space_dense_builder.hpp:68-93): solve the local generalized
+    eigenproblem  DAiD v = lambda Bi v  (Ai = local Dirichlet matrix
+    embedded in the overlapping subdomain, Bi = local Neumann matrix),
+    keep the geneo_nu largest eigenvectors or those above geneo_threshold
+    (selection semantics replicated from tests/test_ddm_solver.py:17-34).
+  * `VirtualGeneoCoarseSpaceDenseBuilder` — user computes eigenvectors from
+    the dense pair (DAiD, Bi) and calls `set_coarse_space`.
+  * `VirtualGeneoCoarseSpaceBuilder` — matrix-free: user receives an
+    H-matvec callback with overlap-region zeroing
+    (virtual_coarse_space_builder.hpp:26-53).
+  * `GeneoCoarseOperatorBuilder` (coarse_operator_builder.hpp:9-14):
+    E = Z^H A Z through the distributed operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..hmatrix.hmatrix import HMatrix
+
+
+class VirtualGeneoCoarseSpaceDenseBuilder:
+    """Base for dense GenEO builders; subclass `compute_coarse_space(Ai, Bi)`."""
+
+    def __init__(self, size_wo_overlap, size_with_overlap, Ai, Bi,
+                 symmetry: str = "S", UPLO: str = "L",
+                 geneo_nu: int = -1, geneo_threshold: float = -1.0):
+        self.size_wo_overlap = int(size_wo_overlap)
+        self.size_with_overlap = int(size_with_overlap)
+        self.Ai = Ai  # HMatrix or dense (size_wo x size_wo, local ordering)
+        self.Bi = np.asarray(Bi) if Bi is not None else None
+        self.symmetry = symmetry
+        self.UPLO = UPLO
+        self.geneo_nu = int(geneo_nu) if geneo_nu is not None else -1
+        self.geneo_threshold = (float(geneo_threshold)
+                                if geneo_threshold is not None else -1.0)
+        self._coarse_space = None
+
+    def set_coarse_space(self, coarse_space) -> None:
+        self._coarse_space = np.asarray(coarse_space)
+
+    def compute_coarse_space(self, Ai, Bi) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+class GeneoCoarseSpaceDenseBuilder(VirtualGeneoCoarseSpaceDenseBuilder):
+    """Built-in dense GenEO eigensolver (scipy host eigensolve: the local
+    generalized eigenproblem is small and runs once at setup)."""
+
+    def compute_coarse_space(self, Ai, Bi) -> None:
+        import scipy.linalg as sla
+        if self.symmetry in ("S", "H"):
+            w, v = sla.eigh(Ai, Bi)
+        else:
+            w, v = sla.eig(Ai, Bi)
+        idx = np.argsort(w.real)[::-1]
+        if self.geneo_threshold > 0:
+            nb = int(np.sum(w.real > self.geneo_threshold))
+        else:
+            nb = max(self.geneo_nu, 0)
+        self.set_coarse_space(v[:, idx[:nb]].real)
+
+
+class VirtualGeneoCoarseSpaceBuilder:
+    """Matrix-free GenEO hook: user subclass implements
+    `compute_coarse_space(hmatrix_callback)` where the callback applies the
+    overlap-zeroed local operator DAiD."""
+
+    def __init__(self, size_wo_overlap, size_with_overlap, Ai,
+                 geneo_nu: int = -1, geneo_threshold: float = -1.0):
+        self.size_wo_overlap = int(size_wo_overlap)
+        self.size_with_overlap = int(size_with_overlap)
+        self.Ai = Ai
+        self.geneo_nu = int(geneo_nu) if geneo_nu is not None else -1
+        self.geneo_threshold = (float(geneo_threshold)
+                                if geneo_threshold is not None else -1.0)
+        self._coarse_space = None
+
+    def set_coarse_space(self, coarse_space) -> None:
+        self._coarse_space = np.asarray(coarse_space)
+
+    def compute_coarse_space(self, hmatrix_callback) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+def _embedded_dirichlet(builder, subdomain):
+    """DAiD: the local Dirichlet matrix embedded into the overlapping
+    subdomain (zeros on the ghost region)."""
+    m = subdomain.size
+    c2o = subdomain.cluster_to_ovr
+    Ai = builder.Ai
+    if isinstance(Ai, HMatrix):
+        Ai = Ai.to_dense()
+    Ai = np.asarray(Ai)
+    if Ai.shape[0] == m:
+        # already with-overlap: apply the POU on both sides
+        D = subdomain.partition_of_unity()
+        return (D[:, None] * Ai * D[None, :]).real
+    out = np.zeros((m, m), dtype=Ai.dtype)
+    out[np.ix_(c2o, c2o)] = Ai
+    return out.real
+
+
+def _make_callback(builder, subdomain):
+    """Overlap-zeroing H-matvec callback for the matrix-free hook
+    (reference: virtual_coarse_space_builder.hpp:26-47)."""
+    m = subdomain.size
+    c2o = subdomain.cluster_to_ovr
+    Ai = builder.Ai
+    if isinstance(Ai, HMatrix) and Ai.shape[0] == m:
+        D = subdomain.partition_of_unity()
+
+        def callback(x):
+            y = np.asarray(Ai.matvec(np.asarray(x) * D))
+            return y * D
+
+        return callback
+
+    def callback(x):
+        y = np.zeros(m, dtype=np.asarray(x).dtype)
+        xi = np.asarray(x)[c2o]
+        y[c2o] = np.asarray(Ai.matvec_internal(xi)
+                            if isinstance(Ai, HMatrix) else Ai @ xi)
+        return y
+
+    return callback
+
+
+def assemble_geneo_coarse_space(solver, space_builders) -> np.ndarray | None:
+    """Run every partition's builder, weight by the POU, extend by zeros to
+    global columns Z (user numbering)."""
+    A = solver.distributed_operator
+    n = A.shape[0]
+    cols = []
+    for p, builder in enumerate(space_builders):
+        s = solver.subdomains[p]
+        if isinstance(builder, VirtualGeneoCoarseSpaceDenseBuilder):
+            DAiD = _embedded_dirichlet(builder, s)
+            Bi = np.asarray(builder.Bi).real
+            builder.compute_coarse_space(DAiD, Bi)
+        elif isinstance(builder, VirtualGeneoCoarseSpaceBuilder):
+            builder.compute_coarse_space(_make_callback(builder, s))
+        else:
+            raise TypeError(f"unknown coarse space builder {type(builder)}")
+        v = builder._coarse_space
+        if v is None or v.size == 0:
+            continue
+        D = s.partition_of_unity()
+        W = D[:, None] * v  # POU weighting
+        Zp = np.zeros((n, W.shape[1]), dtype=W.dtype)
+        Zp[s.ovr_to_global] = W
+        cols.append(Zp)
+    if not cols:
+        return None
+    Z = np.concatenate(cols, axis=1)
+    # orthonormalize for conditioning of E
+    q, r = np.linalg.qr(Z)
+    keep = np.abs(np.diag(r)) > 1e-12 * max(np.abs(np.diag(r)).max(), 1e-300)
+    return q[:, keep]
+
+
+class GeneoCoarseOperatorBuilder:
+    """E = Z^H A Z via global products of the distributed operator."""
+
+    def __init__(self, distributed_operator):
+        self.distributed_operator = distributed_operator
+
+    def build_coarse_operator(self, Z: np.ndarray) -> np.ndarray:
+        AZ = self.distributed_operator.matvec_global(
+            np.asarray(Z, order="F"))
+        return Z.conj().T @ AZ

@@ -1,0 +1,242 @@
+"""H-matrix tests (parity with reference tests/test_hmatrix.py):
+oracle #1 (brute-force kernel, rel error < epsilon) and oracle #2
+(densified self-consistency < 1e-10), LU/Cholesky solves < epsilon."""
+
+import copy
+import logging
+import math
+
+import numpy as np
+import pytest
+
+import htool_python_tpu as H
+from conftest import CustomGenerator
+
+
+class CustomSVD(H.VirtualLowRankGenerator):
+    """User compression hook (parity with the reference's CustomSVD example
+    semantics: truncated SVD, False when not worthwhile)."""
+
+    def __init__(self, generator, allow_copy=True):
+        super().__init__(allow_copy)
+        self.generator = generator
+
+    def build_low_rank_approximation(self, rows, cols, epsilon):
+        submat = np.zeros((len(rows), len(cols)), order="F")
+        self.generator.build_submatrix(rows, cols, submat)
+        u, s, vh = np.linalg.svd(submat, full_matrices=False)
+        norm = np.linalg.norm(submat)
+        svd_norm = 0.0
+        truncated_rank = len(s) - 1
+        while truncated_rank > 0 and math.sqrt(svd_norm) / norm < epsilon:
+            svd_norm += s[truncated_rank] ** 2
+            truncated_rank -= 1
+        truncated_rank += 1
+        if truncated_rank * (len(rows) + len(cols)) > len(rows) * len(cols):
+            return False
+        self.set_U(u[:, :truncated_rank] * s[:truncated_rank])
+        self.set_V(vh[:truncated_rank, :])
+        return True
+
+
+def _make_geometry(symmetry, nb_rows, nb_cols, dimension=3):
+    np.random.seed(0)
+    target = np.random.random((dimension, nb_rows))
+    if symmetry == "N":
+        source = np.random.random((dimension, nb_cols))
+        source[0, :] += 0.0
+    else:
+        source = target
+    return target, source
+
+
+@pytest.mark.parametrize(
+    "loglevel,symmetry",
+    [
+        (logging.INFO, "N"),
+        (logging.DEBUG, "N"),
+        (logging.WARNING, "N"),
+        (logging.INFO, "S"),
+    ],
+)
+@pytest.mark.parametrize("use_custom_lrg", [False, True])
+def test_hmatrix(loglevel, symmetry, use_custom_lrg):
+    logging.basicConfig(level=loglevel)
+    nb_rows = nb_cols = 500
+    eta, epsilon = 100.0, 1e-3
+    target, source = _make_geometry(symmetry, nb_rows, nb_cols)
+
+    builder = H.ClusterTreeBuilder()
+    builder.set_maximal_leaf_size(10)
+    target_cluster = builder.create_cluster_tree(target, 2)
+    source_cluster = (target_cluster if symmetry != "N"
+                      else builder.create_cluster_tree(source, 2))
+    generator = CustomGenerator(target, source if symmetry == "N" else target)
+
+    hbuilder = H.HMatrixTreeBuilder(epsilon, eta, "N", "N")
+    if use_custom_lrg:
+        lrg = CustomSVD(generator, False)
+        hbuilder.set_low_rank_generator(lrg)
+    hmatrix = hbuilder.build(generator, target_cluster, source_cluster)
+    assert hmatrix.shape == (nb_rows, nb_cols)
+
+    copy_hmatrix = copy.deepcopy(hmatrix)
+    dense_user = hmatrix.to_dense_in_user_numbering()
+
+    np.random.seed(0)
+    x = np.random.rand(nb_cols)
+    y = hmatrix * x
+    y_exact = generator.mat_vec(x)
+    y_dense = dense_user.dot(x)
+    y_copy = copy_hmatrix * x
+    assert np.linalg.norm(y - y_exact) / np.linalg.norm(y_exact) < epsilon
+    assert np.linalg.norm(y - y_dense) / np.linalg.norm(y_dense) < 1e-10
+    assert np.linalg.norm(y - y_copy) < 1e-10
+
+    X = np.random.rand(nb_cols, 2)
+    Y = hmatrix @ X
+    Y_exact = generator.mat_mat(X)
+    Y_dense = dense_user @ X
+    Y_copy = copy_hmatrix @ X
+    assert np.linalg.norm(Y - Y_exact) / np.linalg.norm(Y_exact) < epsilon
+    assert np.linalg.norm(Y - Y_dense) / np.linalg.norm(Y_dense) < 1e-10
+    assert np.linalg.norm(Y - Y_copy) < 1e-10
+
+    if use_custom_lrg:
+        lrg.clear_data()
+
+    print(hmatrix.get_tree_parameters())
+    print(hmatrix.get_local_information())
+
+
+@pytest.mark.parametrize("sym_mode", ["S", "N"])
+def test_hmatrix_symmetric_storage(sym_mode):
+    """Symmetric one-triangle storage must match the full build."""
+    nb = 400
+    target, _ = _make_geometry("S", nb, nb)
+    builder = H.ClusterTreeBuilder()
+    builder.set_maximal_leaf_size(10)
+    cluster = builder.create_cluster_tree(target, 2)
+    generator = CustomGenerator(target, target)
+    epsilon, eta = 1e-3, 10.0
+    hb = (H.HMatrixTreeBuilder(epsilon, eta, "S", "L") if sym_mode == "S"
+          else H.HMatrixTreeBuilder(epsilon, eta, "N", "N"))
+    hmatrix = hb.build(generator, cluster, cluster)
+    np.random.seed(0)
+    x = np.random.rand(nb)
+    y = hmatrix * x
+    y_exact = generator.mat_vec(x)
+    assert np.linalg.norm(y - y_exact) / np.linalg.norm(y_exact) < epsilon
+    # densified consistency
+    d = hmatrix.to_dense_in_user_numbering()
+    assert np.linalg.norm(d @ x - y) / np.linalg.norm(y) < 1e-10
+    if sym_mode == "S":
+        assert np.linalg.norm(d - d.T) / np.linalg.norm(d) < 1e-14
+
+
+def test_hmatrix_factorizations():
+    nb = 500
+    target, _ = _make_geometry("S", nb, nb)
+    builder = H.ClusterTreeBuilder()
+    builder.set_maximal_leaf_size(10)
+    cluster = builder.create_cluster_tree(target, 2)
+    generator = CustomGenerator(target, target)
+    epsilon = 1e-3
+    hb = H.HMatrixTreeBuilder(epsilon, 100.0, "S", "L")
+    hmatrix = hb.build(generator, cluster, cluster)
+
+    # HLU
+    copy_h = copy.deepcopy(hmatrix)
+    copy_h.lu_factorization()
+    x_ref = np.ones(nb)
+    y = hmatrix * x_ref
+    x = copy_h.lu_solve("N", y)
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < epsilon
+    x_ref2 = np.ones((nb, 2))
+    y2 = hmatrix @ x_ref2
+    x2 = copy_h.lu_solve("N", y2)
+    assert np.linalg.norm(x2 - x_ref2) / np.linalg.norm(x_ref2) < epsilon
+
+    # Cholesky (kernel matrix is SPD)
+    copy_h = copy.deepcopy(hmatrix)
+    copy_h.cholesky_factorization("L")
+    x = copy_h.cholesky_solve("L", y)
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < epsilon
+    x2 = copy_h.cholesky_solve("L", y2)
+    assert np.linalg.norm(x2 - x_ref2) / np.linalg.norm(x_ref2) < epsilon
+
+
+def test_transpose_products():
+    nb_rows, nb_cols = 300, 200
+    target, source = _make_geometry("N", nb_rows, nb_cols)
+    builder = H.ClusterTreeBuilder()
+    builder.set_maximal_leaf_size(10)
+    tc = builder.create_cluster_tree(target, 2)
+    sc = builder.create_cluster_tree(source, 2)
+    generator = CustomGenerator(target, source)
+    epsilon = 1e-4
+    hmatrix = H.HMatrixTreeBuilder(epsilon, 10.0, "N", "N").build(
+        generator, tc, sc)
+    A = generator.dense()
+    np.random.seed(1)
+    x = np.random.rand(nb_rows)
+    yt = hmatrix.matvec(x, trans="T")
+    assert (np.linalg.norm(yt - A.T @ x) / np.linalg.norm(A.T @ x)
+            < epsilon * 5)
+
+
+def test_recompression():
+    nb = 400
+    target, source = _make_geometry("N", nb, nb)
+    builder = H.ClusterTreeBuilder()
+    builder.set_maximal_leaf_size(10)
+    tc = builder.create_cluster_tree(target, 2)
+    sc = builder.create_cluster_tree(source, 2)
+    generator = CustomGenerator(target, source)
+    hmatrix = H.HMatrixTreeBuilder(1e-6, 10.0, "N", "N").build(
+        generator, tc, sc)
+    info_before = hmatrix.get_local_information()
+    H.recompression(hmatrix, 1e-3)
+    info_after = hmatrix.get_local_information()
+    assert (float(info_after["Compression_ratio"])
+            >= float(info_before["Compression_ratio"]))
+    np.random.seed(0)
+    x = np.random.rand(nb)
+    y = hmatrix * x
+    y_exact = generator.mat_vec(x)
+    assert np.linalg.norm(y - y_exact) / np.linalg.norm(y_exact) < 1e-3
+    H.openmp_recompression(hmatrix)
+
+
+def test_hmatrix_plot():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    nb = 200
+    target, _ = _make_geometry("S", nb, nb)
+    builder = H.ClusterTreeBuilder()
+    builder.set_maximal_leaf_size(10)
+    cluster = builder.create_cluster_tree(target, 2)
+    generator = CustomGenerator(target, target)
+    hmatrix = H.HMatrixTreeBuilder(1e-3, 10.0, "N", "N").build(
+        generator, cluster, cluster)
+    fig, ax = plt.subplots()
+    H.plot(ax, hmatrix)
+    plt.close(fig)
+
+
+def test_reqrank():
+    nb = 300
+    target, source = _make_geometry("N", nb, nb)
+    builder = H.ClusterTreeBuilder()
+    builder.set_maximal_leaf_size(10)
+    tc = builder.create_cluster_tree(target, 2)
+    sc = builder.create_cluster_tree(source, 2)
+    generator = CustomGenerator(target, source)
+    hmatrix = H.HMatrixTreeBuilder(1e-8, 10.0, "N", "N", reqrank=3).build(
+        generator, tc, sc)
+    for _, b, r in [(None, b, r) for b, r in
+                    zip(hmatrix.plan.lowrank_buckets, hmatrix._lr_ranks)]:
+        assert (r <= 3).all()
