@@ -225,6 +225,9 @@ class ClusterTreeBuilder:
     def _build(self, coords, radii, weights, nb_children, top_parts):
         """Core recursive build.  `top_parts` = None (no partition) or the list
         of P user-index arrays forming the partition level."""
+        if top_parts is not None and len(top_parts) == 1:
+            # single-partition: the partition node is the root itself
+            top_parts = None
         offsets, sizes, depths, parents = [], [], [], []
         children_start, children_count = [], []
         centers, radius_arr = [], []

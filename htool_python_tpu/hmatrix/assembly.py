@@ -285,8 +285,10 @@ def _device_lr_bucket(gen, b, rows_idx, cols_idx, epsilon, reqrank, dtype, cfg):
         ranks0 = jnp.full((b.nb,), r, dtype=jnp.int32)
         U, V, ranks = batched_truncate(U, V, ranks0, epsilon, reqrank)
         return U, V, ranks, np.ones(b.nb, bool)
-    rmax = max(4, int(min(b.pt, b.ps) * cfg.max_rank_ratio))
-    rmax = min(rmax, b.pt, b.ps)
+    # cap the ACA candidate rank: admissible blocks needing more than this
+    # are cheaper stored dense anyway (worthwhile check densifies them)
+    rmax = max(8, int(min(b.pt, b.ps) * cfg.max_rank_ratio))
+    rmax = min(rmax, b.pt, b.ps, 128)
     U, V, ranks, ok = batched_aca(gen, jnp.asarray(rows_idx),
                                   jnp.asarray(cols_idx), t_sz, s_sz,
                                   rmax, epsilon, reqrank, dtype)

@@ -78,15 +78,16 @@ class MatrixGenerator(VirtualGenerator):
         super().__init__()
         self.matrix = np.asarray(matrix)
         self.is_complex = np.iscomplexobj(self.matrix)
-        self._device_matrix = None
+        # materialized EAGERLY: lazily caching inside a trace would cache a
+        # tracer (convert_element_type is an op under tracing)
+        self._device_matrix = jnp.asarray(self.matrix) if jnp is not None \
+            else None
 
     def build_submatrix(self, J, K, mat):
         mat[:, :] = self.matrix[np.ix_(np.asarray(J), np.asarray(K))]
 
     # --- device batch interface ---
     def device_matrix(self):
-        if self._device_matrix is None:
-            self._device_matrix = jnp.asarray(self.matrix)
         return self._device_matrix
 
     def device_blocks(self, t_idx, s_idx):
@@ -119,13 +120,12 @@ class KernelGenerator(VirtualGenerator):
         self.target_points = np.asarray(target_points, dtype=np.float64)
         self.source_points = np.asarray(source_points, dtype=np.float64)
         self.is_complex = is_complex
-        self._tx = None
-        self._sx = None
-
-    def _device_points(self):
-        if self._tx is None:
+        # materialized EAGERLY (see MatrixGenerator: no caching under trace)
+        if jnp is not None:
             self._tx = jnp.asarray(self.target_points.T)  # (N, dim)
             self._sx = jnp.asarray(self.source_points.T)
+
+    def _device_points(self):
         return self._tx, self._sx
 
     def build_submatrix(self, J, K, mat):

@@ -105,6 +105,9 @@ class HMatrix:
         perm_in = perm_s if trans == "N" else perm_t
         perm_out = perm_t if trans == "N" else perm_s
         x = np.asarray(x)
+        if x.shape[0] != len(perm_in):
+            raise ValueError(
+                f"expected input of size {len(perm_in)}, got {x.shape[0]}")
         y_int = np.asarray(self.matvec_internal(x[perm_in], trans))
         y = np.empty(y_int.shape, dtype=y_int.dtype)
         y[perm_out] = y_int

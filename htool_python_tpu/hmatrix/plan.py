@@ -8,12 +8,13 @@ C++ objects, the plan is a flat list of leaf blocks
 grouped into *buckets* of identical padded shape so that assembly,
 compression and matvec run as batched device ops (vmap / batched GEMM).
 
-Admissibility (strong, separation-based):
-    min(diam_t, diam_s) <= eta * max(dist(c_t, c_s) - r_t - r_s, 0)
+Admissibility (Htool-style center-distance condition):
+    min(diam_t, diam_s) <= eta * dist(c_t, c_s)
 The reference's exact default condition lives in the non-vendored core
 [unverified, see SURVEY.md §2.2]; its tests only pin that the result meets
-epsilon in operator norm, which any admissibility choice satisfies here
-because compression ranks adapt to epsilon.
+epsilon in operator norm, which holds for any admissibility choice here
+because compression ranks adapt to epsilon (with a dense fallback when a
+block is admissible but not worth compressing).
 """
 
 from __future__ import annotations
@@ -96,10 +97,7 @@ def _admissible(tt, t, ss, s, eta):
     ct, cs = tt.centers[t], ss.centers[s]
     rt, rs = tt.radii[t], ss.radii[s]
     dist = float(np.linalg.norm(ct - cs))
-    gap = dist - rt - rs
-    if gap <= 0:
-        return False
-    return 2.0 * min(rt, rs) <= eta * gap
+    return 2.0 * min(rt, rs) <= eta * dist
 
 
 def build_block_plan(

@@ -17,6 +17,10 @@ from ..ops.aca import batched_truncate
 
 
 def recompression(hmatrix, epsilon: float | None = None) -> None:
+    if isinstance(hmatrix, (list, tuple)):  # PerPartition container
+        for h in hmatrix:
+            recompression(h, epsilon)
+        return
     eps = float(epsilon) if epsilon is not None else hmatrix.epsilon
     lr_arrays, lr_ranks = [], []
     for (U, V, *_), b, ranks in zip(hmatrix._data["lr"],

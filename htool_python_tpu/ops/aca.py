@@ -14,6 +14,8 @@ costs O(rank * (m + n)) kernel evaluations, never O(m*n).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,12 +38,20 @@ def batched_aca(gen, t_idx, s_idx, t_sz, s_sz, rmax: int, eps: float,
     columns >= rank zeroed.  ok=False => ACA did not converge (caller
     densifies those blocks).
     """
+    t_idx = jnp.asarray(np.asarray(t_idx), dtype=jnp.int32)
+    s_idx = jnp.asarray(np.asarray(s_idx), dtype=jnp.int32)
+    t_sz = jnp.asarray(np.asarray(t_sz), dtype=jnp.int32)
+    s_sz = jnp.asarray(np.asarray(s_sz), dtype=jnp.int32)
+    return _batched_aca_jit(gen, int(rmax), float(eps), int(reqrank),
+                            np.dtype(dtype), t_idx, s_idx, t_sz, s_sz)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _batched_aca_jit(gen, rmax, eps, reqrank, dtype, t_idx, s_idx, t_sz, s_sz):
+    """jitted ACA core; `gen` is static (hashed by identity) so the XLA
+    cache is keyed by (generator, bucket shapes) — one compile per shape."""
     nb, pt = t_idx.shape
     ps = s_idx.shape[1]
-    t_idx = jnp.asarray(t_idx, dtype=jnp.int32)
-    s_idx = jnp.asarray(s_idx, dtype=jnp.int32)
-    t_sz = jnp.asarray(t_sz, dtype=jnp.int32)
-    s_sz = jnp.asarray(s_sz, dtype=jnp.int32)
     fixed_rank = reqrank > 0
     niter = int(reqrank) if fixed_rank else int(rmax)
     rdt = jnp.zeros((), dtype=dtype).real.dtype  # real scalar dtype
@@ -52,8 +62,8 @@ def batched_aca(gen, t_idx, s_idx, t_sz, s_sz, rmax: int, eps: float,
     row_valid = row_pos < t_sz[:, None]  # (nb, pt)
     col_valid = col_pos < s_sz[:, None]
 
-    def body(k, state):
-        U, V, used, next_i, fro2, rank, stopped = state
+    def body(state):
+        k, U, V, used, next_i, fro2, rank, stopped = state
         i_k = next_i  # (nb,)
         # residual row at i_k
         rows = gen.device_rows(t_idx[arange_nb, i_k], s_idx)  # (nb, ps)
@@ -97,7 +107,12 @@ def batched_aca(gen, t_idx, s_idx, t_sz, s_sz, rmax: int, eps: float,
         cand = jnp.where(row_valid & jnp.logical_not(used), jnp.abs(u_k), -1.0)
         next_i_new = jnp.argmax(cand, axis=1).astype(jnp.int32)
         next_i = jnp.where(stopped_new, i_k, next_i_new)
-        return U, V, used, next_i, fro2, rank, stopped_new
+        return k + 1, U, V, used, next_i, fro2, rank, stopped_new
+
+    def cond(state):
+        k, *_, stopped = state
+        # batch-level early exit once every block has converged
+        return (k < niter) & jnp.logical_not(jnp.all(stopped))
 
     U0 = jnp.zeros((nb, pt, rmax), dtype=dtype)
     V0 = jnp.zeros((nb, rmax, ps), dtype=dtype)
@@ -107,8 +122,10 @@ def batched_aca(gen, t_idx, s_idx, t_sz, s_sz, rmax: int, eps: float,
     rank0 = jnp.zeros((nb,), dtype=jnp.int32)
     stopped0 = jnp.zeros((nb,), dtype=bool)
 
-    U, V, used, next_i, fro2, rank, stopped = jax.lax.fori_loop(
-        0, niter, body, (U0, V0, used0, next_i0, fro20, rank0, stopped0))
+    _, U, V, used, next_i, fro2, rank, stopped = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros((), jnp.int32), U0, V0, used0, next_i0, fro20, rank0,
+         stopped0))
 
     if fixed_rank:
         ok = jnp.ones((nb,), dtype=bool)
@@ -130,11 +147,21 @@ def batched_truncate(U, V, ranks, eps: float, reqrank: int = -1):
 
     Returns (U', V', ranks') with trailing columns zeroed.
     """
+    nb, pt, r = U.shape
+    if r == 0 or nb == 0:
+        return U, V, ranks
+    return _batched_truncate_jit(int(reqrank), jnp.asarray(U), jnp.asarray(V),
+                                 jnp.asarray(ranks),
+                                 jnp.asarray(eps, dtype=jnp.float64
+                                             if jax.config.jax_enable_x64
+                                             else jnp.float32))
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _batched_truncate_jit(reqrank, U, V, ranks, eps):
     dtype = U.dtype
     nb, pt, r = U.shape
     ps = V.shape[2]
-    if r == 0 or nb == 0:
-        return U, V, ranks
     Qu, Ru = jnp.linalg.qr(U)  # (nb, pt, r), (nb, r, r)
     Vh = jnp.conj(jnp.swapaxes(V, 1, 2))  # (nb, ps, r)
     Qv, Rv = jnp.linalg.qr(Vh)

@@ -1,0 +1,235 @@
+"""Sharded SPMD execution of distributed H-matrix operators over a Mesh.
+
+TPU-native replacement for the reference's MPI execution model
+(SURVEY.md §2.3): instead of P MPI processes each holding its rank's block
+row and allgather-ing results, the P block rows live as ONE set of stacked,
+padded bucket arrays with a leading partition axis sharded over a 1-D
+`jax.sharding.Mesh`; the global-to-global product is a single jitted
+shard_map program:
+
+    replicate x  ->  per-device bucketed gather-GEMM-scatter (its block row)
+                 ->  all_gather of the target segments (XLA collective on ICI)
+
+The DDM one-level preconditioner shards the same way: the subdomain batch
+axis of the padded LU factors lives on the mesh, each device solves its
+subdomains, and contributions are psum-reduced.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.matvec import apply_hmatrix_padded
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "p") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def _stack_partition_data(hmatrices, n_pad_x, t_max):
+    """Stack P block-row HMatrices into uniform per-shape bucket arrays with
+    a leading partition axis (zero blocks pad partitions that lack a shape).
+
+    Returns a pytree: {'dense': [(D (P,nb,pt,ps), t_off (P,nb), s_off)],
+                       'lr': [(U, V, t_off, s_off)]}
+    Offsets are into the partition-local padded output (length t_max + pad)
+    for targets and the global padded input for sources; padding blocks
+    scatter into the dummy tail region.
+    """
+    Pn = len(hmatrices)
+    shapes_dense, shapes_lr = {}, {}
+    for h in hmatrices:
+        for (D, t_off, s_off, _), b in zip(h._data["dense"],
+                                           h.plan.dense_buckets):
+            shapes_dense.setdefault((b.pt, b.ps), [0] * Pn)
+        for (U, V, t_off, s_off, _), b in zip(h._data["lr"],
+                                              h.plan.lowrank_buckets):
+            key = (b.pt, U.shape[2], b.ps)
+            shapes_lr.setdefault(key, [0] * Pn)
+    for p, h in enumerate(hmatrices):
+        for (D, *_), b in zip(h._data["dense"], h.plan.dense_buckets):
+            shapes_dense[(b.pt, b.ps)][p] = b.nb
+        for (U, V, *_), b in zip(h._data["lr"], h.plan.lowrank_buckets):
+            shapes_lr[(b.pt, U.shape[2], b.ps)][p] = b.nb
+
+    dtype = hmatrices[0].dtype
+    dense_stacked = []
+    for (pt, ps), counts in sorted(shapes_dense.items()):
+        nb = max(counts)
+        D = np.zeros((Pn, nb, pt, ps), dtype=dtype)
+        t_off = np.full((Pn, nb), t_max, dtype=np.int32)  # pad -> dummy tail
+        s_off = np.full((Pn, nb), n_pad_x - ps, dtype=np.int32)
+        for p, h in enumerate(hmatrices):
+            for (Dh, *_), b in zip(h._data["dense"], h.plan.dense_buckets):
+                if (b.pt, b.ps) != (pt, ps):
+                    continue
+                D[p, :b.nb] = np.asarray(Dh)
+                t_off[p, :b.nb] = b.t_off
+                s_off[p, :b.nb] = b.s_off
+        dense_stacked.append((jnp.asarray(D), jnp.asarray(t_off),
+                              jnp.asarray(s_off)))
+    lr_stacked = []
+    for (pt, r, ps), counts in sorted(shapes_lr.items()):
+        nb = max(counts)
+        U = np.zeros((Pn, nb, pt, r), dtype=dtype)
+        V = np.zeros((Pn, nb, r, ps), dtype=dtype)
+        t_off = np.full((Pn, nb), t_max, dtype=np.int32)
+        s_off = np.full((Pn, nb), n_pad_x - ps, dtype=np.int32)
+        for p, h in enumerate(hmatrices):
+            for (Uh, Vh, *_), b in zip(h._data["lr"], h.plan.lowrank_buckets):
+                if (b.pt, Uh.shape[2], b.ps) != (pt, r, ps):
+                    continue
+                U[p, :b.nb] = np.asarray(Uh)
+                V[p, :b.nb] = np.asarray(Vh)
+                t_off[p, :b.nb] = b.t_off
+                s_off[p, :b.nb] = b.s_off
+        lr_stacked.append((jnp.asarray(U), jnp.asarray(V), jnp.asarray(t_off),
+                           jnp.asarray(s_off)))
+    return {"dense": dense_stacked, "lr": lr_stacked}
+
+
+def _local_block_row_apply(data, x_pad, t_pad_len):
+    """One partition's block-row product: x replicated -> local y segment."""
+    y = jnp.zeros((t_pad_len, x_pad.shape[1]), dtype=x_pad.dtype)
+    iota = lambda n: jnp.arange(n, dtype=jnp.int32)
+    for D, t_off, s_off in data["dense"]:
+        pt, ps = D.shape[1], D.shape[2]
+        xg = x_pad[s_off[:, None] + iota(ps)[None, :]]
+        yb = jnp.einsum("nij,njk->nik", D, xg)
+        y = y.at[t_off[:, None] + iota(pt)[None, :]].add(yb)
+    for U, V, t_off, s_off in data["lr"]:
+        pt, ps = U.shape[1], V.shape[2]
+        xg = x_pad[s_off[:, None] + iota(ps)[None, :]]
+        w = jnp.einsum("nrj,njk->nrk", V, xg)
+        yb = jnp.einsum("nir,nrk->nik", U, w)
+        y = y.at[t_off[:, None] + iota(pt)[None, :]].add(yb)
+    return y
+
+
+class ShardedDistributedOperator:
+    """Mesh-sharded global-to-global operator from per-partition block-row
+    HMatrices (as produced by DefaultApproximationBuilder)."""
+
+    def __init__(self, hmatrices, target_cluster, source_cluster,
+                 mesh: Mesh | None = None):
+        self.hmatrices = list(hmatrices)
+        self.target_cluster = target_cluster
+        self.source_cluster = source_cluster
+        Pn = len(self.hmatrices)
+        self.mesh = mesh if mesh is not None else make_mesh(Pn)
+        if self.mesh.devices.size != Pn:
+            raise ValueError(
+                f"mesh has {self.mesh.devices.size} devices but there are "
+                f"{Pn} partitions")
+        self.n_partitions = Pn
+        nt, ns = target_cluster.get_size(), source_cluster.get_size()
+        self.shape = (nt, ns)
+        max_dim = 1
+        for h in self.hmatrices:
+            for b in h.plan.dense_buckets + h.plan.lowrank_buckets:
+                max_dim = max(max_dim, b.pt, b.ps)
+        self.t_sizes = np.array([h.shape[0] for h in self.hmatrices])
+        self.t_offsets = np.array(
+            [h.plan.target_offset for h in self.hmatrices])
+        self.t_max = int(self.t_sizes.max())
+        self.t_pad_len = self.t_max + max_dim
+        self.n_pad_x = ns + max_dim
+        self._data = _stack_partition_data(self.hmatrices, self.n_pad_x,
+                                           self.t_max)
+        self._shard_data()
+        self._jitted = {}
+
+    def _shard_data(self):
+        spec_leaf = NamedSharding(self.mesh, P("p"))
+        self._data = jax.tree.map(
+            lambda a: jax.device_put(a, spec_leaf), self._data)
+
+    def _get_fn(self, k):
+        if k in self._jitted:
+            return self._jitted[k]
+        mesh = self.mesh
+        t_pad_len = self.t_pad_len
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P("p"), P(None, None)),
+                 out_specs=P("p", None))
+        def sharded_apply(data, x_pad):
+            data = jax.tree.map(lambda a: a[0], data)  # strip partition axis
+            y_local = _local_block_row_apply(data, x_pad, t_pad_len)
+            return y_local[None]  # (1, t_pad_len, k) per device
+
+        self._jitted[k] = jax.jit(sharded_apply)
+        return self._jitted[k]
+
+    def matvec_global(self, x):
+        """Global-to-global product in user numbering."""
+        x = np.asarray(x)
+        squeeze = x.ndim == 1
+        x2 = x[:, None] if squeeze else x
+        perm_s = self.source_cluster.get_permutation()
+        perm_t = self.target_cluster.get_permutation()
+        dtype = np.result_type(x2.dtype, self.hmatrices[0].dtype)
+        x_pad = np.zeros((self.n_pad_x, x2.shape[1]), dtype=dtype)
+        x_pad[:self.shape[1]] = x2[perm_s]
+        y_parts = self._get_fn(x2.shape[1])(self._data, jnp.asarray(x_pad))
+        y_parts = np.asarray(y_parts)  # (P, t_pad_len, k)
+        y_int = np.zeros((self.shape[0], x2.shape[1]), dtype=y_parts.dtype)
+        for p in range(self.n_partitions):
+            o, s = int(self.t_offsets[p]), int(self.t_sizes[p])
+            y_int[o:o + s] = y_parts[p, :s]
+        y = np.empty_like(y_int)
+        y[perm_t] = y_int
+        return y[:, 0] if squeeze else y
+
+    def __mul__(self, x):
+        return self.matvec_global(x)
+
+    def __matmul__(self, X):
+        return self.matvec_global(X)
+
+
+def sharded_block_solve(mesh: Mesh, lu, piv, idx_pad, weights, n: int):
+    """Build a jitted sharded one-level preconditioner application:
+    r (n, k) -> sum_p R_p^T D_p A_p^{-1} R_p r, subdomain batch on the mesh.
+
+    lu (P, m, m), piv (P, m), idx_pad (P, m) global user indices (pad -> n),
+    weights (P, m).
+    """
+    import jax.scipy.linalg as jsl
+
+    spec = NamedSharding(mesh, P("p"))
+    lu = jax.device_put(lu, spec)
+    piv = jax.device_put(piv, spec)
+    idx_pad = jax.device_put(jnp.asarray(idx_pad), spec)
+    weights = jax.device_put(jnp.asarray(weights), spec)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("p"), P("p"), P("p"), P("p"), P(None, None)),
+             out_specs=P(None, None))
+    def apply(lu_l, piv_l, idx_l, w_l, r_ext):
+        X = r_ext[idx_l]  # (pp, m, k)
+        Z = jsl.lu_solve((lu_l, piv_l), X) * w_l[:, :, None]
+        out = jnp.zeros_like(r_ext)
+        out = out.at[idx_l].add(Z)
+        return jax.lax.psum(out, "p")
+
+    def precond(r):
+        r = np.asarray(r)
+        squeeze = r.ndim == 1
+        r2 = r[:, None] if squeeze else r
+        r_ext = jnp.concatenate(
+            [jnp.asarray(r2), jnp.zeros((1, r2.shape[1]), dtype=r2.dtype)])
+        out = apply(lu, piv, idx_pad, weights, r_ext)
+        out = np.asarray(out[:n])
+        return out[:, 0] if squeeze else out
+
+    return precond

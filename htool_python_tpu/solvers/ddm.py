@@ -381,13 +381,11 @@ def _as_list_of_arrays(x, P):
 
 
 def _as_list_of_lists(x, P):
-    """intersections: per-partition list of per-neighbor index arrays."""
+    """intersections: per-partition list of per-neighbor index arrays.
+    A bare list of arrays is accepted for P == 1 (reference signature)."""
     if x is None:
         return [[] for _ in range(P)]
     x = list(x)
-    if P == 1:
-        if len(x) == 0 or isinstance(x[0], (np.ndarray, list, tuple)) and (
-                len(x) != 1 or not isinstance(x[0][0] if len(x[0]) else 0,
-                                              (list, np.ndarray))):
-            return [x]
-    return x
+    if len(x) == P and all(isinstance(a, list) for a in x):
+        return x
+    return [x]

@@ -121,3 +121,286 @@ def cluster(geometry, symmetry, partition_type, number_of_children,
 def generator(geometry):
     [target_points, source_points, _] = geometry
     return CustomGenerator(target_points, source_points)
+
+
+class CustomSVDLowRank(H.VirtualLowRankGenerator):
+    """Custom compression hook: truncated SVD (reference example parity)."""
+
+    def __init__(self, generator, allow_copy=True):
+        super().__init__(allow_copy)
+        self.generator = generator
+
+    def build_low_rank_approximation(self, rows, cols, epsilon):
+        import math
+        submat = np.zeros((len(rows), len(cols)), order="F")
+        self.generator.build_submatrix(rows, cols, submat)
+        u, s, vh = np.linalg.svd(submat, full_matrices=False)
+        norm = np.linalg.norm(submat)
+        svd_norm = 0.0
+        trunc = len(s) - 1
+        while trunc > 0 and math.sqrt(svd_norm) / norm < epsilon:
+            svd_norm += s[trunc] ** 2
+            trunc -= 1
+        trunc += 1
+        if trunc * (len(rows) + len(cols)) > len(rows) * len(cols):
+            return False
+        self.set_U(u[:, :trunc] * s[:trunc])
+        self.set_V(vh[:trunc, :])
+        return True
+
+
+class CustomDenseBlocksGenerator(H.VirtualDenseBlocksGenerator):
+    """Batched dense-leaf callback (reference example parity)."""
+
+    def __init__(self, generator, target_cluster, source_cluster):
+        super().__init__(target_cluster, source_cluster)
+        self.generator = generator
+
+    def build_dense_blocks(self, rows_offsets, cols_offsets, blocks):
+        for i in range(len(blocks)):
+            self.generator.build_submatrix(rows_offsets[i], cols_offsets[i],
+                                           blocks[i])
+
+
+class CustomRestrictedGlobalToLocalOperator(H.RestrictedGlobalToLocalOperator):
+    """User off-diagonal operator (reference advanced-example parity:
+    in-place `output` mutation contract)."""
+
+    def __init__(self, generator, target_renum, source_renum,
+                 target_use_perm=False, source_use_perm=False):
+        super().__init__(target_renum, source_renum,
+                         target_use_perm, source_use_perm)
+        self.data = np.zeros((target_renum.size, source_renum.size))
+        generator.build_submatrix(
+            target_renum.permutation[
+                target_renum.offset:target_renum.offset + target_renum.size],
+            source_renum.permutation[
+                source_renum.offset:source_renum.offset + source_renum.size],
+            self.data)
+
+    def add_vector_product(self, trans, alpha, input, beta, output):
+        output *= beta
+        if trans == "N":
+            output += alpha * self.data.dot(input)
+        elif trans == "T":
+            output += alpha * self.data.T.dot(input)
+        else:
+            output += alpha * self.data.conj().T.dot(input)
+
+    add_matrix_product_row_major = add_vector_product
+
+
+class CustomLocalToLocalOperator(H.VirtualLocalToLocalOperator):
+    def __init__(self, generator, target_renum, source_renum):
+        super().__init__(target_renum, source_renum)
+        self.data = np.zeros((target_renum.size, source_renum.size))
+        generator.build_submatrix(
+            target_renum.permutation[
+                target_renum.offset:target_renum.offset + target_renum.size],
+            source_renum.permutation[
+                source_renum.offset:source_renum.offset + source_renum.size],
+            self.data)
+
+    def local_add_vector_product(self, trans, alpha, input, beta, output):
+        output *= beta
+        if trans == "N":
+            output += alpha * self.data.dot(input)
+        elif trans == "T":
+            output += alpha * self.data.T.dot(input)
+        else:
+            output += alpha * self.data.conj().T.dot(input)
+
+    local_add_matrix_product_row_major = local_add_vector_product
+
+
+@pytest.fixture(params=[True, False],
+                ids=["custom_dense_block_generator",
+                     "auto_dense_block_generator"])
+def dense_blocks_generator(request, generator, cluster):
+    [target_cluster, source_cluster] = cluster
+    if request.param:
+        return CustomDenseBlocksGenerator(generator, target_cluster,
+                                          source_cluster)
+    return None
+
+
+@pytest.fixture(params=[True, False],
+                ids=["custom_low_rank_approximation",
+                     "auto_low_rank_approximation"])
+def low_rank_approximation(request, generator):
+    if request.param:
+        return CustomSVDLowRank(generator)
+    return None
+
+
+@pytest.fixture(params=["None", "ExtraDiagonal", "LocalAndExtraDiagonal"])
+def local_operator(request, generator, cluster, n_partitions):
+    """Per-partition custom operators (the reference builds this-rank's ops,
+    tests/conftest.py:223-293; here we build every partition's)."""
+    if request.param == "None":
+        return None
+    [target_cluster, source_cluster] = cluster
+    kind = request.param
+    g2l = [[] for _ in range(n_partitions)]
+    l2l = [None] * n_partitions
+    src_perm = source_cluster.get_permutation()
+    for p in range(n_partitions):
+        t_local = target_cluster.get_cluster_on_partition(p)
+        s_local = source_cluster.get_cluster_on_partition(p)
+        if s_local.get_offset() > 0:
+            g2l[p].append(CustomRestrictedGlobalToLocalOperator(
+                generator, H.LocalRenumbering(t_local),
+                H.LocalRenumbering(0, s_local.get_offset(), src_perm)))
+        right_off = s_local.get_offset() + s_local.get_size()
+        right_size = source_cluster.get_size() - right_off
+        if right_size > 0:
+            g2l[p].append(CustomRestrictedGlobalToLocalOperator(
+                generator, H.LocalRenumbering(t_local),
+                H.LocalRenumbering(right_off, right_size, src_perm)))
+        if kind == "LocalAndExtraDiagonal":
+            l2l[p] = CustomLocalToLocalOperator(
+                generator, H.LocalRenumbering(t_local),
+                H.LocalRenumbering(s_local))
+    return [kind, g2l, l2l]
+
+
+@pytest.fixture
+def default_distributed_operator(cluster, generator, epsilon, eta, symmetry,
+                                 UPLO):
+    [target_cluster, source_cluster] = cluster
+    return [target_cluster, source_cluster,
+            H.DefaultApproximationBuilder(
+                generator, target_cluster, source_cluster,
+                H.HMatrixTreeBuilder(epsilon, eta, symmetry, UPLO), None)]
+
+
+@pytest.fixture
+def custom_distributed_operator(cluster, generator, epsilon, eta, symmetry,
+                                UPLO, local_operator, dense_blocks_generator,
+                                low_rank_approximation, n_partitions):
+    [target_cluster, source_cluster] = cluster
+    if local_operator is None:
+        hb = H.HMatrixTreeBuilder(epsilon, eta, symmetry, UPLO)
+        if dense_blocks_generator is not None:
+            hb.set_dense_blocks_generator(dense_blocks_generator)
+        if low_rank_approximation is not None:
+            hb.set_low_rank_generator(low_rank_approximation)
+        holder = H.DefaultApproximationBuilder(
+            generator, target_cluster, source_cluster, hb, None)
+    elif local_operator[0] == "ExtraDiagonal":
+        holder = H.DefaultLocalApproximationBuilder(
+            generator, target_cluster, source_cluster,
+            H.HMatrixTreeBuilder(epsilon, eta, symmetry, UPLO), None)
+        for p in range(n_partitions):
+            for op in local_operator[1][p]:
+                holder.distributed_operator.add_global_to_local_operator(op)
+    else:  # LocalAndExtraDiagonal
+        holder = H.CustomApproximationBuilder(
+            target_cluster, source_cluster, None, local_operator[2])
+        for p in range(n_partitions):
+            for op in local_operator[1][p]:
+                holder.distributed_operator.add_global_to_local_operator(op)
+    return [target_cluster, source_cluster, holder]
+
+
+# ----------------------------------------------------------------------
+# Golden-data fixtures for the DDM solver suite (oracle pattern #3).
+# The reference loads pre-generated binaries from the
+# htool_generate_data_test submodule (reference tests/conftest.py:383-524);
+# here the same binary formats are produced by tools/generate_test_data.py.
+
+import pathlib
+import struct
+
+
+class GeneratorFromMatrix(H.VirtualGenerator):
+    def __init__(self, matrix):
+        super().__init__()
+        self.matrix = matrix
+        self.is_complex = np.iscomplexobj(matrix)
+
+    def build_submatrix(self, J, K, mat):
+        mat[:, :] = self.matrix[np.ix_(np.asarray(J), np.asarray(K))]
+
+
+ComplexGeneratorFromMatrix = GeneratorFromMatrix
+
+
+@pytest.fixture(scope="session")
+def golden_data_root(tmp_path_factory):
+    root = pathlib.Path(__file__).parent.parent / "data" / "htool_generated_data"
+    if not (root / "output_sym" / "matrix.bin").exists():
+        import subprocess
+        import sys
+        subprocess.run(
+            [sys.executable,
+             str(pathlib.Path(__file__).parent.parent / "tools"
+                 / "generate_test_data.py")],
+            check=True)
+    return root
+
+
+@pytest.fixture
+def load_data_solver(golden_data_root, symmetry, mu, n_partitions):
+    folder = "sym" if symmetry == "S" else "non_sym"
+    UPLO = "L" if symmetry == "S" else "N"
+    path = golden_data_root / ("output_" + folder)
+
+    with open(path / "matrix.bin", "rb") as f:
+        data = f.read()
+        (m, n) = struct.unpack("@II", data[:8])
+        A = np.frombuffer(data[8:], dtype=np.complex128)
+        A = np.transpose(A.reshape((m, n)))
+    if symmetry == "S":
+        A = A.real
+
+    with open(path / "geometry.bin", "rb") as f:
+        data = f.read()
+        geometry = np.frombuffer(data[4:], dtype=np.float64)
+        geometry = geometry.reshape(3, m, order="F")
+
+    with open(path / "rhs.bin", "rb") as f:
+        data = f.read()
+        rhs = np.frombuffer(data[4:], dtype=np.complex128)
+    f_vec = rhs.copy()
+    if mu > 1:
+        f_vec = np.tile(rhs[:, None], (1, mu))
+    if symmetry == "S":
+        f_vec = f_vec.real
+
+    cluster = H.read_cluster_from(
+        str(path / f"cluster_{n_partitions}_cluster_tree_properties.csv"),
+        str(path / f"cluster_{n_partitions}_cluster_tree.csv"))
+
+    with open(path / "sol.bin", "rb") as f:
+        data = f.read()
+        x_ref = np.frombuffer(data[4:], dtype=np.complex128)
+    if symmetry == "S":
+        x_ref = x_ref.real
+
+    def read_ints(name):
+        with open(path / name, "rb") as fh:
+            data = fh.read()
+            return np.frombuffer(data[4:], dtype=np.int32)
+
+    cluster_to_ovr, ovr_to_global, neighbors, intersections, Ki = \
+        [], [], [], [], []
+    for r in range(n_partitions):
+        cluster_to_ovr.append(
+            read_ints(f"cluster_to_ovr_subdomain_{n_partitions}_{r}.bin"))
+        ovr_to_global.append(
+            read_ints(f"ovr_subdomain_to_global_{n_partitions}_{r}.bin"))
+        nbr = read_ints(f"neighbors_{n_partitions}_{r}.bin")
+        neighbors.append(nbr)
+        inters = [read_ints(f"intersections_{n_partitions}_{r}_{i}.bin")
+                  for i in range(len(nbr))]
+        intersections.append(inters)
+        with open(path / f"Ki_{n_partitions}_{r}.bin", "rb") as fh:
+            data = fh.read()
+            (km, kn) = struct.unpack("@II", data[:8])
+            K = np.frombuffer(data[8:], dtype=np.complex128)
+            K = np.transpose(K.reshape((km, kn)))
+            Ki.append(K.real if symmetry == "S" else K)
+
+    return [A, x_ref, f_vec, geometry, cluster, neighbors, intersections,
+            symmetry, UPLO, cluster_to_ovr, ovr_to_global, Ki]
