@@ -38,6 +38,11 @@ class Config:
     min_bucket_dim: int = 8
     # maximum ACA rank as a fraction of min(block dims); safety cap
     max_rank_ratio: float = 0.5
+    # admissible blocks larger than this (either dim) are split further.
+    # Uniform tile caps keep ACA reliable (bounded rank per block), bound
+    # the number of distinct XLA compile shapes, and turn the matvec into
+    # a few large batched GEMMs — the TPU-efficient shape of the format.
+    max_block_size: int = 512
 
     def default_dtype(self, is_complex: bool) -> np.dtype:
         return self.complex_dtype if is_complex else self.real_dtype
@@ -67,3 +72,27 @@ def set_precision(mode: str) -> None:
 # Allow opting into x64 via environment for scripts/tests.
 if os.environ.get("HTOOL_TPU_X64", "").lower() in ("1", "true", "yes"):
     use_x64(True)
+
+
+def _enable_persistent_compilation_cache() -> None:
+    """On-disk XLA compilation cache. Assembly compiles one program per
+    bucket shape; over a remote TPU link each compile costs seconds, so
+    caching across processes matters. min_entry_size must be forced to -1:
+    some PJRT plugins report executable sizes that fall under the default
+    threshold and nothing would ever be written."""
+    cache_dir = os.environ.get("HTOOL_TPU_CACHE_DIR")
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "htool_python_tpu", "xla")
+    if cache_dir == "":  # explicit opt-out
+        return
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compilation_cache()

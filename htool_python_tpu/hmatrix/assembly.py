@@ -41,6 +41,29 @@ def _is_device_generator(gen) -> bool:
     return hasattr(gen, "device_rows") and hasattr(gen, "device_cols")
 
 
+def _pow2_pad(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _pad_nb(rows_idx, cols_idx, t_sz, s_sz):
+    """Pad the batch dimension to a power of two with zero-size dummy blocks
+    so device compiles are keyed by (pow2 nb, pt, ps) and reused across
+    plans/partitions. Returns (rows_idx, cols_idx, t_sz, s_sz, real_nb)."""
+    nb = len(t_sz)
+    nb_pad = _pow2_pad(nb)
+    if nb_pad == nb:
+        return rows_idx, cols_idx, t_sz, s_sz, nb
+    extra = nb_pad - nb
+    rows_idx = np.concatenate([rows_idx, np.repeat(rows_idx[-1:], extra, 0)])
+    cols_idx = np.concatenate([cols_idx, np.repeat(cols_idx[-1:], extra, 0)])
+    t_sz = np.concatenate([t_sz, np.zeros(extra, t_sz.dtype)])
+    s_sz = np.concatenate([s_sz, np.zeros(extra, s_sz.dtype)])
+    return rows_idx, cols_idx, t_sz, s_sz, nb
+
+
 def _user_indices(perm, base, off, sz, width):
     """Padded user-index row (width,) for one block, clamped in pad region."""
     idx = np.minimum(np.arange(width) + off, off + sz - 1) + base
@@ -177,12 +200,14 @@ def assemble(plan: BlockPlan, generator, epsilon: float, reqrank: int = -1,
         for b in dense_buckets:
             rows_idx = _bucket_user_indices(perm_t, t_base, b, "t")
             cols_idx = _bucket_user_indices(perm_s, s_base, b, "s")
+            rows_idx, cols_idx, t_sz_np, s_sz_np, real_nb = _pad_nb(
+                rows_idx, cols_idx, b.t_sz, b.s_sz)
             D = generator.device_blocks(jnp.asarray(rows_idx),
                                         jnp.asarray(cols_idx)).astype(dtype)
-            mask = ((np.arange(b.pt)[None, :, None] < b.t_sz[:, None, None])
-                    & (np.arange(b.ps)[None, None, :] < b.s_sz[:, None, None]))
+            mask = ((np.arange(b.pt)[None, :, None] < t_sz_np[:, None, None])
+                    & (np.arange(b.ps)[None, None, :] < s_sz_np[:, None, None]))
             D = D * jnp.asarray(mask, dtype=dtype)
-            dense_arrays.append(D)
+            dense_arrays.append(D[:real_nb])
     else:
         for b in dense_buckets:
             D = np.zeros((b.nb, b.pt, b.ps), dtype=dtype)
@@ -270,21 +295,24 @@ def _host_lr_bucket(gen, b, perm_t, perm_s, t_base, s_base, epsilon,
 
 def _device_lr_bucket(gen, b, rows_idx, cols_idx, epsilon, reqrank, dtype, cfg):
     """Device generator: batched ACA (or batched dense+SVD for small blocks)."""
-    t_sz = jnp.asarray(b.t_sz)
-    s_sz = jnp.asarray(b.s_sz)
+    rows_idx, cols_idx, t_sz_np, s_sz_np, real_nb = _pad_nb(
+        rows_idx, cols_idx, b.t_sz, b.s_sz)
+    t_sz = jnp.asarray(t_sz_np)
+    s_sz = jnp.asarray(s_sz_np)
     if b.pt * b.ps <= _DENSE_SVD_MAX:
         D = gen.device_blocks(jnp.asarray(rows_idx),
                               jnp.asarray(cols_idx)).astype(dtype)
-        mask = ((np.arange(b.pt)[None, :, None] < b.t_sz[:, None, None])
-                & (np.arange(b.ps)[None, None, :] < b.s_sz[:, None, None]))
+        mask = ((np.arange(b.pt)[None, :, None] < t_sz_np[:, None, None])
+                & (np.arange(b.ps)[None, None, :] < s_sz_np[:, None, None]))
         D = D * jnp.asarray(mask, dtype=dtype)
         U, S, Vh = jnp.linalg.svd(D, full_matrices=False)
         r = S.shape[1]
         U = (U * S[:, None, :]).astype(dtype)
         V = Vh.astype(dtype)
-        ranks0 = jnp.full((b.nb,), r, dtype=jnp.int32)
+        ranks0 = jnp.full((len(t_sz_np),), r, dtype=jnp.int32)
         U, V, ranks = batched_truncate(U, V, ranks0, epsilon, reqrank)
-        return U, V, ranks, np.ones(b.nb, bool)
+        return (U[:real_nb], V[:real_nb], np.asarray(ranks)[:real_nb],
+                np.ones(real_nb, bool))
     # cap the ACA candidate rank: admissible blocks needing more than this
     # are cheaper stored dense anyway (worthwhile check densifies them)
     rmax = max(8, int(min(b.pt, b.ps) * cfg.max_rank_ratio))
@@ -293,4 +321,5 @@ def _device_lr_bucket(gen, b, rows_idx, cols_idx, epsilon, reqrank, dtype, cfg):
                                   jnp.asarray(cols_idx), t_sz, s_sz,
                                   rmax, epsilon, reqrank, dtype)
     U, V, ranks = batched_truncate(U, V, ranks, epsilon, reqrank)
-    return U, V, ranks, ok
+    return (U[:real_nb], V[:real_nb], np.asarray(ranks)[:real_nb],
+            np.asarray(ok)[:real_nb])

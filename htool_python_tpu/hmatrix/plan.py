@@ -121,6 +121,7 @@ def build_block_plan(
     t_base = target_cluster.get_offset()
     s_base = source_cluster.get_offset()
     sym = symmetry in ("S", "H")
+    max_block = get_config().max_block_size
 
     dense: list[tuple] = []
     lowrank: list[tuple] = []
@@ -137,7 +138,13 @@ def build_block_plan(
         deep_enough = (tt.depths[t] >= minimal_target_depth
                        and ss.depths[s] >= minimal_source_depth)
 
-        if (not on_diag) and deep_enough and _admissible(tt, t, ss, s, eta):
+        # uniform tile cap: keep splitting admissible blocks above
+        # max_block_size (bounded rank per block => reliable ACA, few
+        # distinct padded shapes => few XLA compiles, large batches)
+        small_enough = (max(t_sz, s_sz) <= max_block
+                        or (t_leaf and s_leaf))
+        if (not on_diag) and deep_enough and small_enough \
+                and _admissible(tt, t, ss, s, eta):
             lowrank.append((t_off, t_sz, s_off, s_sz, mirror))
             continue
         if t_leaf and s_leaf:

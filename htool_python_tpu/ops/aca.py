@@ -20,6 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# compression math must run at full f32 on the MXU: the TPU default
+# matmul precision (bf16 passes) visibly degrades ACA residuals
+_HI = jax.lax.Precision.HIGHEST
+
 
 def batched_aca(gen, t_idx, s_idx, t_sz, s_sz, rmax: int, eps: float,
                 reqrank: int, dtype):
@@ -53,7 +57,10 @@ def _batched_aca_jit(gen, rmax, eps, reqrank, dtype, t_idx, s_idx, t_sz, s_sz):
     nb, pt = t_idx.shape
     ps = s_idx.shape[1]
     fixed_rank = reqrank > 0
-    niter = int(reqrank) if fixed_rank else int(rmax)
+    target_rank = int(reqrank) if fixed_rank else int(rmax)
+    # iteration budget: zero-pivot rows are retried (they consume an
+    # iteration but no rank slot), so allow some slack beyond target_rank
+    niter = target_rank + min(16, pt)
     rdt = jnp.zeros((), dtype=dtype).real.dtype  # real scalar dtype
 
     arange_nb = jnp.arange(nb)
@@ -61,53 +68,75 @@ def _batched_aca_jit(gen, rmax, eps, reqrank, dtype, t_idx, s_idx, t_sz, s_sz):
     col_pos = jnp.arange(ps, dtype=jnp.int32)[None, :]
     row_valid = row_pos < t_sz[:, None]  # (nb, pt)
     col_valid = col_pos < s_sz[:, None]
+    col_slot = jnp.arange(rmax, dtype=jnp.int32)[None, :]  # (1, rmax)
 
     def body(state):
-        k, U, V, used, next_i, fro2, rank, stopped = state
+        k, U, V, used, next_i, fro2, rank, conv_cnt, stopped = state
         i_k = next_i  # (nb,)
         # residual row at i_k
         rows = gen.device_rows(t_idx[arange_nb, i_k], s_idx)  # (nb, ps)
         Ui = U[arange_nb, i_k]  # (nb, rmax)
-        rows = rows - jnp.einsum("nr,nrj->nj", Ui, V)
+        rows = rows - jnp.einsum("nr,nrj->nj", Ui, V, precision=_HI)
         rows = jnp.where(col_valid, rows, 0)
         absrow = jnp.abs(rows)
         j_k = jnp.argmax(jnp.where(col_valid, absrow, -1.0), axis=1)
         delta = rows[arange_nb, j_k]
+        # zero pivot: this row's residual is (numerically) zero. The row
+        # is exhausted, but the BLOCK may not be converged — retry with
+        # another unused row instead of declaring convergence.
         zero_piv = jnp.abs(delta) <= jnp.finfo(rdt).tiny * 1e3
         safe_delta = jnp.where(zero_piv, 1.0, delta)
         v_k = rows / safe_delta[:, None]
         # residual column at j_k
         cols = gen.device_cols(t_idx, s_idx[arange_nb, j_k])  # (nb, pt)
         Vj = V[arange_nb, :, j_k]  # (nb, rmax)
-        cols = cols - jnp.einsum("nir,nr->ni", U, Vj)
+        cols = cols - jnp.einsum("nir,nr->ni", U, Vj, precision=_HI)
         u_k = jnp.where(row_valid, cols, 0)
 
         unorm2 = jnp.sum(jnp.abs(u_k) ** 2, axis=1)
         vnorm2 = jnp.sum(jnp.abs(v_k) ** 2, axis=1)
-        c = jnp.einsum("nir,ni->nr", jnp.conj(U), u_k)
-        d = jnp.einsum("nrj,nj->nr", jnp.conj(V), v_k)
+        c = jnp.einsum("nir,ni->nr", jnp.conj(U), u_k, precision=_HI)
+        d = jnp.einsum("nrj,nj->nr", jnp.conj(V), v_k, precision=_HI)
         fro2_new = fro2 + unorm2 * vnorm2 + 2.0 * jnp.real(jnp.sum(c * d, axis=1))
         fro2_new = jnp.maximum(fro2_new, 0.0)
 
         accept = jnp.logical_not(stopped | zero_piv)
         if fixed_rank:
-            converged = jnp.zeros((nb,), dtype=bool)
+            inc_conv = jnp.zeros((nb,), dtype=bool)
         else:
-            converged = unorm2 * vnorm2 <= (eps * eps) * fro2_new
-        stopped_new = stopped | zero_piv | (accept & converged)
+            inc_conv = unorm2 * vnorm2 <= (eps * eps) * fro2_new
+        # require TWO consecutive sub-eps increments before declaring
+        # convergence: a single accidentally-small pivot product must not
+        # truncate a block that still carries mass
+        conv_cnt = jnp.where(accept,
+                             jnp.where(inc_conv, conv_cnt + 1, 0), conv_cnt)
+        converged = conv_cnt >= 2
 
+        # write the accepted cross at column `rank` (one-hot outer update:
+        # ranks advance per block, not per iteration)
         am = accept.astype(dtype)
-        U = U.at[:, :, k].set(u_k * am[:, None])
-        V = V.at[:, k, :].set(v_k * am[:, None])
-        used = used.at[arange_nb, i_k].set(used[arange_nb, i_k] | accept)
+        oh = (col_slot == rank[:, None]).astype(dtype) * am[:, None]  # (nb, rmax)
+        U = U + u_k[:, :, None] * oh[:, None, :]
+        V = V + v_k[:, None, :] * oh[:, :, None]
+        used = used.at[arange_nb, i_k].set(used[arange_nb, i_k]
+                                           | accept | zero_piv)
         fro2 = jnp.where(accept, fro2_new, fro2)
         rank = rank + accept.astype(jnp.int32)
 
-        # next row pivot: largest |u_k| among unused valid rows
-        cand = jnp.where(row_valid & jnp.logical_not(used), jnp.abs(u_k), -1.0)
-        next_i_new = jnp.argmax(cand, axis=1).astype(jnp.int32)
-        next_i = jnp.where(stopped_new, i_k, next_i_new)
-        return k + 1, U, V, used, next_i, fro2, rank, stopped_new
+        # next row pivot: largest |u_k| among unused valid rows (uniform
+        # score when retrying after a zero pivot)
+        score = jnp.where(zero_piv[:, None], 1.0, jnp.abs(u_k))
+        cand = jnp.where(row_valid & jnp.logical_not(used), score, -1.0)
+        best = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        rows_left = jnp.max(cand, axis=1) >= 0
+        # no unused rows left => every row's residual visited: block is
+        # exactly represented (dead == success)
+        dead = jnp.logical_not(rows_left)
+        rank_full = rank >= target_rank
+        stopped_new = stopped | converged | dead | rank_full
+        next_i = jnp.where(stopped_new, i_k, best)
+        return (k + 1, U, V, used, next_i, fro2, rank, conv_cnt,
+                stopped_new)
 
     def cond(state):
         k, *_, stopped = state
@@ -120,20 +149,24 @@ def _batched_aca_jit(gen, rmax, eps, reqrank, dtype, t_idx, s_idx, t_sz, s_sz):
     next_i0 = jnp.zeros((nb,), dtype=jnp.int32)
     fro20 = jnp.zeros((nb,), dtype=rdt)
     rank0 = jnp.zeros((nb,), dtype=jnp.int32)
+    cc0 = jnp.zeros((nb,), dtype=jnp.int32)
     stopped0 = jnp.zeros((nb,), dtype=bool)
 
-    _, U, V, used, next_i, fro2, rank, stopped = jax.lax.while_loop(
+    _, U, V, used, next_i, fro2, rank, conv_cnt, stopped = jax.lax.while_loop(
         cond, body,
         (jnp.zeros((), jnp.int32), U0, V0, used0, next_i0, fro20, rank0,
-         stopped0))
+         cc0, stopped0))
 
     if fixed_rank:
         ok = jnp.ones((nb,), dtype=bool)
     else:
-        # converged blocks stopped before exhausting rmax; also accept blocks
-        # whose full size is <= achieved rank (they are exactly represented)
+        # success = converged (two consecutive sub-eps increments), or all
+        # rows exhausted (exact), or achieved rank covers the full block;
+        # blocks that merely hit the rank cap are NOT ok (caller densifies)
         full = rank >= jnp.minimum(t_sz, s_sz)
-        ok = stopped | full
+        no_rows = jnp.logical_not(
+            jnp.any(row_valid & jnp.logical_not(used), axis=1))
+        ok = (conv_cnt >= 2) | no_rows | full
     return U, V, rank, ok
 
 
@@ -165,7 +198,7 @@ def _batched_truncate_jit(reqrank, U, V, ranks, eps):
     Qu, Ru = jnp.linalg.qr(U)  # (nb, pt, r), (nb, r, r)
     Vh = jnp.conj(jnp.swapaxes(V, 1, 2))  # (nb, ps, r)
     Qv, Rv = jnp.linalg.qr(Vh)
-    core = jnp.einsum("nij,nkj->nik", Ru, jnp.conj(Rv))  # Ru @ Rv^H (nb, r, r)
+    core = jnp.einsum("nij,nkj->nik", Ru, jnp.conj(Rv), precision=_HI)  # Ru @ Rv^H (nb, r, r)
     W, s, Zh = jnp.linalg.svd(core, full_matrices=False)
     # per-block truncation rank: smallest r' with tail energy <= eps^2 * total
     s2 = s * s
@@ -177,8 +210,8 @@ def _batched_truncate_jit(reqrank, U, V, ranks, eps):
         keep = tail > (eps * eps) * jnp.maximum(total, jnp.finfo(s.dtype).tiny)
     new_ranks = jnp.sum(keep, axis=1).astype(jnp.int32)
     sk = jnp.where(keep, s, 0.0).astype(dtype)
-    Unew = jnp.einsum("nik,nkr->nir", Qu, W * sk[:, None, :])
-    Vnew = jnp.einsum("nrk,njk->nrj", Zh, jnp.conj(Qv))
+    Unew = jnp.einsum("nik,nkr->nir", Qu, W * sk[:, None, :], precision=_HI)
+    Vnew = jnp.einsum("nrk,njk->nrj", Zh, jnp.conj(Qv), precision=_HI)
     # zero rows of V beyond rank (U already zeroed via sk)
     rmask = (jnp.arange(s.shape[1])[None, :] < new_ranks[:, None])
     Vnew = Vnew * rmask[:, :, None].astype(dtype)

@@ -24,6 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# full-f32 MXU passes: the product IS the accuracy contract (<= epsilon);
+# these ops are HBM-bandwidth-bound so the higher precision is ~free
+_HI = jax.lax.Precision.HIGHEST
+
 
 def _iota(n):
     return jnp.arange(n, dtype=jnp.int32)
@@ -59,12 +63,12 @@ def apply_hmatrix_padded(data, x_pad, ny_pad: int, trans: str, sym: str):
 
     def dense_term(D, xg):
         return jnp.einsum("nij,njk->nik", D, xg,
-                          preferred_element_type=dtype)
+                          preferred_element_type=dtype, precision=_HI)
 
     def dense_term_t(D, xg, conj):
         Dc = jnp.conj(D) if conj else D
         return jnp.einsum("nij,nik->njk", Dc, xg,
-                          preferred_element_type=dtype)
+                          preferred_element_type=dtype, precision=_HI)
 
     for D, t_off, s_off, mirror in data["dense"]:
         pt, ps = D.shape[1], D.shape[2]
@@ -93,37 +97,37 @@ def apply_hmatrix_padded(data, x_pad, ny_pad: int, trans: str, sym: str):
         m = mirror.astype(dtype)[:, None, None]
         if trans == "N":
             xg = _gather(x_pad, s_off, ps)
-            w = jnp.einsum("nrj,njk->nrk", V, xg, preferred_element_type=dtype)
+            w = jnp.einsum("nrj,njk->nrk", V, xg, preferred_element_type=dtype, precision=_HI)
             y = _scatter_add(y, t_off,
                              jnp.einsum("nir,nrk->nik", U, w,
-                                        preferred_element_type=dtype))
+                                        preferred_element_type=dtype, precision=_HI))
             # mirror: sigma(UV) = sigma(V) sigma(U) at (s,t)
             xg = _gather(x_pad, t_off, pt)
             Uc = jnp.conj(U) if sym == "H" else U
             Vc = jnp.conj(V) if sym == "H" else V
-            w = jnp.einsum("nir,nik->nrk", Uc, xg, preferred_element_type=dtype)
+            w = jnp.einsum("nir,nik->nrk", Uc, xg, preferred_element_type=dtype, precision=_HI)
             y = _scatter_add(y, s_off,
                              jnp.einsum("nrj,nrk->njk", Vc, w,
-                                        preferred_element_type=dtype) * m)
+                                        preferred_element_type=dtype, precision=_HI) * m)
         else:
             conj_main = trans == "C"
             Uc = jnp.conj(U) if conj_main else U
             Vc = jnp.conj(V) if conj_main else V
             xg = _gather(x_pad, t_off, pt)
-            w = jnp.einsum("nir,nik->nrk", Uc, xg, preferred_element_type=dtype)
+            w = jnp.einsum("nir,nik->nrk", Uc, xg, preferred_element_type=dtype, precision=_HI)
             y = _scatter_add(y, s_off,
                              jnp.einsum("nrj,nrk->njk", Vc, w,
-                                        preferred_element_type=dtype))
+                                        preferred_element_type=dtype, precision=_HI))
             # mirror^(trans): for 'S': (UV)^T mirror -> UV at (t,s) under T;
             # composition handled by conj flags:
             conj_mirror = (sym == "H") != (trans == "C")
             Um = jnp.conj(U) if conj_mirror else U
             Vm = jnp.conj(V) if conj_mirror else V
             xg = _gather(x_pad, s_off, ps)
-            w = jnp.einsum("nrj,njk->nrk", Vm, xg, preferred_element_type=dtype)
+            w = jnp.einsum("nrj,njk->nrk", Vm, xg, preferred_element_type=dtype, precision=_HI)
             y = _scatter_add(y, t_off,
                              jnp.einsum("nir,nrk->nik", Um, w,
-                                        preferred_element_type=dtype) * m)
+                                        preferred_element_type=dtype, precision=_HI) * m)
 
     return y
 
