@@ -43,6 +43,15 @@ class Config:
     # the number of distinct XLA compile shapes, and turn the matvec into
     # a few large batched GEMMs — the TPU-efficient shape of the format.
     max_block_size: int = 512
+    # factorization: blocks up to this size densify-and-factor (exact);
+    # larger ones use the level-batched HODLR Woodbury factorization
+    # (ops/hodlr.py) built by randomized peeling through the fast matvec
+    hodlr_threshold: int = 4096
+    hodlr_leaf_size: int = 256
+    hodlr_sample_size: int = 32
+    hodlr_power_iters: int = 1
+    # HODLR build tolerance = hodlr_eps_factor * hmatrix.epsilon
+    hodlr_eps_factor: float = 0.1
 
     def default_dtype(self, is_complex: bool) -> np.dtype:
         return self.complex_dtype if is_complex else self.real_dtype

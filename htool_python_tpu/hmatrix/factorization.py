@@ -7,11 +7,12 @@ tests/test_hmatrix.py:98-128: factorizing an epsilon-compressed matrix
 solves to relative error < epsilon; factorization is in-place (deepcopy
 first).
 
-Current implementation: densify-and-factor on device (jax.scipy LU /
-Cholesky) — numerically exact, so the epsilon contract holds trivially.
-A true hierarchical LU (level-scheduled batched block factorization with
-low-rank Schur updates) is the planned upgrade path; the API and in-place
-semantics won't change.
+Two execution paths, selected by size:
+- n <= config.hodlr_threshold: densify-and-factor on device (jax.scipy
+  LU / Cholesky) — numerically exact, the right call for small blocks.
+- larger: the level-batched hierarchical HODLR Woodbury factorization
+  (ops/hodlr.py), O(N r log^2 N) build / O(N r log N) solve, constructed
+  by randomized peeling through the operator's own fast bucketed matvec.
 """
 
 from __future__ import annotations
@@ -21,17 +22,46 @@ import numpy as np
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
+from ..config import get_config
+
+
+def _hierarchical_factor(hmatrix):
+    from ..ops.hodlr import build_hodlr, factor_hodlr
+
+    cfg = get_config()
+    n = hmatrix.shape[0]
+    eps = max(hmatrix.epsilon * cfg.hodlr_eps_factor, 1e-14)
+
+    def apply_fn(x, trans):
+        return hmatrix._apply_internal_2d(jnp.asarray(x), trans)
+
+    h = build_hodlr(apply_fn, n, hmatrix.dtype, eps,
+                    leaf_size=cfg.hodlr_leaf_size,
+                    sample_size=cfg.hodlr_sample_size,
+                    power_iters=cfg.hodlr_power_iters)
+    return factor_hodlr(h)
+
 
 def lu_factorization(hmatrix) -> None:
+    n, nc = hmatrix.shape
+    if n != nc:
+        raise ValueError("lu_factorization requires a square H-matrix")
+    if n > get_config().hodlr_threshold:
+        hmatrix._factorization = ("hodlr", _hierarchical_factor(hmatrix))
+        return
     a = jnp.asarray(hmatrix.to_dense())
     lu, piv = jsl.lu_factor(a)
     hmatrix._factorization = ("lu", lu, piv)
 
 
 def cholesky_factorization(hmatrix, UPLO: str = "L") -> None:
+    n, nc = hmatrix.shape
+    if n != nc:
+        raise ValueError("cholesky_factorization requires a square H-matrix")
+    if n > get_config().hodlr_threshold:
+        hmatrix._factorization = ("hodlr", _hierarchical_factor(hmatrix))
+        return
     a = jnp.asarray(hmatrix.to_dense())
-    if hmatrix.symmetry == "H" or np.iscomplexobj(np.asarray(a)):
-        pass
     c = jsl.cholesky(a, lower=(UPLO == "L"))
     hmatrix._factorization = ("cholesky", c, UPLO)
 
