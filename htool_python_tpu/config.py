@@ -52,6 +52,19 @@ class Config:
     hodlr_power_iters: int = 1
     # HODLR build tolerance = hodlr_eps_factor * hmatrix.epsilon
     hodlr_eps_factor: float = 0.1
+    # iterative-refinement sweeps per HODLR solve (x += F^-1 (b - A x),
+    # residual through the fast bucketed matvec): each sweep multiplies the
+    # solve error by ~cond(A) * hodlr_eps, recovering the reference's
+    # rel-err < epsilon contract without driving HODLR ranks up
+    hodlr_refine_iters: int = 2
+    # assembly memory budget: batched device ops (ACA, QR/SVD truncation,
+    # dense fills) are chunked over the block axis so that one chunk's
+    # dominant operand stays under ~this many elements.  Chunk sizes are
+    # powers of two, so XLA compiles are keyed by (chunk, pt, ps) and
+    # bounded in number regardless of problem size.
+    assembly_chunk_elems: int = 1 << 25
+    # force ('pallas' | 'xla' | None=auto) the matvec kernel backend
+    matvec_backend: str | None = None
 
     def default_dtype(self, is_complex: bool) -> np.dtype:
         return self.complex_dtype if is_complex else self.real_dtype

@@ -20,15 +20,21 @@ are moved into the dense buckets before the dense fill.
 
 from __future__ import annotations
 
+import os
+import time
+from functools import partial
+
 import numpy as np
 
 try:
+    import jax
     import jax.numpy as jnp
 except Exception:  # pragma: no cover
+    jax = None
     jnp = None
 
 from ..config import get_config
-from ..ops.aca import batched_aca, batched_truncate
+from ..ops.aca import _chunk_cap, _chunk_slices
 from .generator import VirtualGenerator
 from .plan import BlockPlan, _bucketize
 
@@ -36,32 +42,48 @@ from .plan import BlockPlan, _bucketize
 # instead of ACA on the device path (small blocks: SVD is exact and cheap)
 _DENSE_SVD_MAX = 64 * 64
 
+_PROFILE = bool(os.environ.get("HTOOL_TPU_PROFILE"))
+
 
 def _is_device_generator(gen) -> bool:
     return hasattr(gen, "device_rows") and hasattr(gen, "device_cols")
 
 
-def _pow2_pad(n: int) -> int:
-    p = 1
-    while p < n:
-        p *= 2
-    return p
+def _pad_chunk(rows_idx, cols_idx, t_sz, s_sz, i0, i1, size):
+    """Slice [i0:i1) of a bucket's index/size arrays, padded to `size` with
+    zero-size dummy blocks (valid clamped indices, so device evals stay in
+    bounds). Returns jnp arrays."""
+    c = i1 - i0
+    if size == c:
+        ri, ci = rows_idx[i0:i1], cols_idx[i0:i1]
+        tz, sz = t_sz[i0:i1], s_sz[i0:i1]
+    else:
+        ri = np.repeat(rows_idx[i1 - 1:i1], size, 0)
+        ci = np.repeat(cols_idx[i1 - 1:i1], size, 0)
+        tz = np.zeros(size, t_sz.dtype)
+        sz = np.zeros(size, s_sz.dtype)
+        ri[:c], ci[:c] = rows_idx[i0:i1], cols_idx[i0:i1]
+        tz[:c], sz[:c] = t_sz[i0:i1], s_sz[i0:i1]
+    return (jnp.asarray(ri), jnp.asarray(ci),
+            jnp.asarray(tz.astype(np.int32)), jnp.asarray(sz.astype(np.int32)))
 
 
-def _pad_nb(rows_idx, cols_idx, t_sz, s_sz):
-    """Pad the batch dimension to a power of two with zero-size dummy blocks
-    so device compiles are keyed by (pow2 nb, pt, ps) and reused across
-    plans/partitions. Returns (rows_idx, cols_idx, t_sz, s_sz, real_nb)."""
-    nb = len(t_sz)
-    nb_pad = _pow2_pad(nb)
-    if nb_pad == nb:
-        return rows_idx, cols_idx, t_sz, s_sz, nb
-    extra = nb_pad - nb
-    rows_idx = np.concatenate([rows_idx, np.repeat(rows_idx[-1:], extra, 0)])
-    cols_idx = np.concatenate([cols_idx, np.repeat(cols_idx[-1:], extra, 0)])
-    t_sz = np.concatenate([t_sz, np.zeros(extra, t_sz.dtype)])
-    s_sz = np.concatenate([s_sz, np.zeros(extra, s_sz.dtype)])
-    return rows_idx, cols_idx, t_sz, s_sz, nb
+@partial(jax.jit, static_argnums=(0, 1))
+def _masked_blocks_jit(gen, dtype, rows_idx, cols_idx, t_sz, s_sz):
+    """Batched dense fill of one chunk, zeroed outside the actual sizes."""
+    D = gen.device_blocks(rows_idx, cols_idx).astype(dtype)
+    pt, ps = rows_idx.shape[1], cols_idx.shape[1]
+    mask = ((jnp.arange(pt)[None, :, None] < t_sz[:, None, None])
+            & (jnp.arange(ps)[None, None, :] < s_sz[:, None, None]))
+    return jnp.where(mask, D, jnp.zeros((), dtype))
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _dense_svd_lr_jit(gen, dtype, rows_idx, cols_idx, t_sz, s_sz):
+    """Small-block low-rank path: dense fill + batched SVD factors."""
+    D = _masked_blocks_jit(gen, dtype, rows_idx, cols_idx, t_sz, s_sz)
+    U, S, Vh = jnp.linalg.svd(D, full_matrices=False)
+    return (U * S[:, None, :]).astype(dtype), Vh.astype(dtype)
 
 
 def _user_indices(perm, base, off, sz, width):
@@ -117,7 +139,9 @@ def assemble(plan: BlockPlan, generator, epsilon: float, reqrank: int = -1,
             perm_t = generator.target_permutation
         if generator.source_permutation is not None:
             perm_s = generator.source_permutation
-    t_base, s_base = plan.target_offset, plan.source_offset
+    # symmetric block-row plans store t_off in absolute coordinates
+    t_base = 0 if plan.t_off_absolute else plan.target_offset
+    s_base = plan.source_offset
 
     kept_lr_buckets, lr_arrays, lr_ranks = [], [], []
     densify_blocks: list[tuple] = []
@@ -150,19 +174,21 @@ def assemble(plan: BlockPlan, generator, epsilon: float, reqrank: int = -1,
                 densify_blocks.append((b.t_off[i], b.t_sz[i], b.s_off[i],
                                        b.s_sz[i], b.mirror[i]))
             continue
+        U = jnp.asarray(U)
+        V = jnp.asarray(V)
         if not keep.all():
             for i in np.flatnonzero(~keep):
                 densify_blocks.append((b.t_off[i], b.t_sz[i], b.s_off[i],
                                        b.s_sz[i], b.mirror[i]))
             sel = np.flatnonzero(keep)
             b = _subset_bucket(b, sel)
-            U = np.asarray(U)[sel]
-            V = np.asarray(V)[sel]
+            U = U[sel]
+            V = V[sel]
             ranks = ranks[sel]
-        # trim rank padding to bucket max
+        # trim rank padding to bucket max (device-side slice: no host copy)
         rmaxb = max(int(ranks.max()), 1)
-        U = jnp.asarray(np.asarray(U)[:, :, :rmaxb], dtype=dtype)
-        V = jnp.asarray(np.asarray(V)[:, :rmaxb, :], dtype=dtype)
+        U = U[:, :, :rmaxb].astype(dtype)
+        V = V[:, :rmaxb, :].astype(dtype)
         kept_lr_buckets.append(b)
         lr_arrays.append((U, V))
         lr_ranks.append(ranks.astype(np.int32))
@@ -198,16 +224,22 @@ def assemble(plan: BlockPlan, generator, epsilon: float, reqrank: int = -1,
             dense_arrays.append(jnp.asarray(D))
     elif use_device:
         for b in dense_buckets:
+            t0 = time.perf_counter()
             rows_idx = _bucket_user_indices(perm_t, t_base, b, "t")
             cols_idx = _bucket_user_indices(perm_s, s_base, b, "s")
-            rows_idx, cols_idx, t_sz_np, s_sz_np, real_nb = _pad_nb(
-                rows_idx, cols_idx, b.t_sz, b.s_sz)
-            D = generator.device_blocks(jnp.asarray(rows_idx),
-                                        jnp.asarray(cols_idx)).astype(dtype)
-            mask = ((np.arange(b.pt)[None, :, None] < t_sz_np[:, None, None])
-                    & (np.arange(b.ps)[None, None, :] < s_sz_np[:, None, None]))
-            D = D * jnp.asarray(mask, dtype=dtype)
-            dense_arrays.append(D[:real_nb])
+            cap = _chunk_cap(b.pt * b.ps * 6)
+            Ds = []
+            for i0, i1, size in _chunk_slices(b.nb, cap):
+                ri, ci, tz, sz = _pad_chunk(rows_idx, cols_idx, b.t_sz,
+                                            b.s_sz, i0, i1, size)
+                Dc = _masked_blocks_jit(generator, np.dtype(dtype),
+                                        ri, ci, tz, sz)
+                Ds.append(Dc[:i1 - i0])
+            dense_arrays.append(Ds[0] if len(Ds) == 1 else jnp.concatenate(Ds))
+            if _PROFILE:
+                dense_arrays[-1].block_until_ready()
+                print(f"[assemble] dense bucket ({b.pt},{b.ps}) nb={b.nb}: "
+                      f"{time.perf_counter() - t0:.2f}s")
     else:
         for b in dense_buckets:
             D = np.zeros((b.nb, b.pt, b.ps), dtype=dtype)
@@ -294,32 +326,51 @@ def _host_lr_bucket(gen, b, perm_t, perm_s, t_base, s_base, epsilon,
 
 
 def _device_lr_bucket(gen, b, rows_idx, cols_idx, epsilon, reqrank, dtype, cfg):
-    """Device generator: batched ACA (or batched dense+SVD for small blocks)."""
-    rows_idx, cols_idx, t_sz_np, s_sz_np, real_nb = _pad_nb(
-        rows_idx, cols_idx, b.t_sz, b.s_sz)
-    t_sz = jnp.asarray(t_sz_np)
-    s_sz = jnp.asarray(s_sz_np)
+    """Device generator: batched ACA (or batched dense+SVD for small blocks).
+
+    All device calls are chunked over the block axis, and SVD re-truncation
+    is fused into each chunk so only *trimmed* factors accumulate — peak
+    memory is bounded by the budget plus the final compressed size."""
+    from ..ops.aca import (_batched_aca_jit, _batched_truncate_jit,
+                           concat_rank_chunks, truncate_eps_array)
+
+    t0 = time.perf_counter()
+    eps_arr = truncate_eps_array(epsilon)
+    dtype = np.dtype(dtype)
+    chunks = []
     if b.pt * b.ps <= _DENSE_SVD_MAX:
-        D = gen.device_blocks(jnp.asarray(rows_idx),
-                              jnp.asarray(cols_idx)).astype(dtype)
-        mask = ((np.arange(b.pt)[None, :, None] < t_sz_np[:, None, None])
-                & (np.arange(b.ps)[None, None, :] < s_sz_np[:, None, None]))
-        D = D * jnp.asarray(mask, dtype=dtype)
-        U, S, Vh = jnp.linalg.svd(D, full_matrices=False)
-        r = S.shape[1]
-        U = (U * S[:, None, :]).astype(dtype)
-        V = Vh.astype(dtype)
-        ranks0 = jnp.full((len(t_sz_np),), r, dtype=jnp.int32)
-        U, V, ranks = batched_truncate(U, V, ranks0, epsilon, reqrank)
-        return (U[:real_nb], V[:real_nb], np.asarray(ranks)[:real_nb],
-                np.ones(real_nb, bool))
-    # cap the ACA candidate rank: admissible blocks needing more than this
-    # are cheaper stored dense anyway (worthwhile check densifies them)
-    rmax = max(8, int(min(b.pt, b.ps) * cfg.max_rank_ratio))
-    rmax = min(rmax, b.pt, b.ps, 128)
-    U, V, ranks, ok = batched_aca(gen, jnp.asarray(rows_idx),
-                                  jnp.asarray(cols_idx), t_sz, s_sz,
-                                  rmax, epsilon, reqrank, dtype)
-    U, V, ranks = batched_truncate(U, V, ranks, epsilon, reqrank)
-    return (U[:real_nb], V[:real_nb], np.asarray(ranks)[:real_nb],
-            np.asarray(ok)[:real_nb])
+        cap = _chunk_cap(b.pt * b.ps * 8)
+        for i0, i1, size in _chunk_slices(b.nb, cap):
+            ri, ci, tz, sz = _pad_chunk(rows_idx, cols_idx, b.t_sz, b.s_sz,
+                                        i0, i1, size)
+            Uc, Vc = _dense_svd_lr_jit(gen, dtype, ri, ci, tz, sz)
+            r0 = jnp.full((size,), Uc.shape[2], dtype=jnp.int32)
+            Uc, Vc, rc = _batched_truncate_jit(int(reqrank), Uc, Vc, r0,
+                                               eps_arr)
+            rc = np.asarray(rc)[:i1 - i0]
+            w = max(int(rc.max(initial=0)), 1)
+            chunks.append((Uc[:i1 - i0, :, :w], Vc[:i1 - i0, :w, :], rc,
+                           np.ones(i1 - i0, bool)))
+    else:
+        # cap the ACA candidate rank: admissible blocks needing more than
+        # this are cheaper stored dense anyway (worthwhile check densifies)
+        rmax = max(8, int(min(b.pt, b.ps) * cfg.max_rank_ratio))
+        rmax = min(rmax, b.pt, b.ps, 128)
+        cap = _chunk_cap((b.pt + b.ps) * (rmax + 16) * 2)
+        for i0, i1, size in _chunk_slices(b.nb, cap):
+            ri, ci, tz, sz = _pad_chunk(rows_idx, cols_idx, b.t_sz, b.s_sz,
+                                        i0, i1, size)
+            Uc, Vc, rc, okc = _batched_aca_jit(
+                gen, rmax, float(epsilon), int(reqrank), dtype, ri, ci, tz, sz)
+            Uc, Vc, rc = _batched_truncate_jit(int(reqrank), Uc, Vc, rc,
+                                               eps_arr)
+            rc = np.asarray(rc)[:i1 - i0]
+            w = max(int(rc.max(initial=0)), 1)
+            chunks.append((Uc[:i1 - i0, :, :w], Vc[:i1 - i0, :w, :], rc,
+                           np.asarray(okc)[:i1 - i0]))
+    out = concat_rank_chunks(chunks, dtype)
+    if _PROFILE:
+        out[0].block_until_ready()
+        print(f"[assemble] lowrank bucket ({b.pt},{b.ps}) nb={b.nb}: "
+              f"{time.perf_counter() - t0:.2f}s")
+    return out

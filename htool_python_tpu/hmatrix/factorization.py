@@ -25,7 +25,7 @@ import jax.scipy.linalg as jsl
 from ..config import get_config
 
 
-def _hierarchical_factor(hmatrix):
+def _hierarchical_factor(hmatrix, sym: str = "N"):
     from ..ops.hodlr import build_hodlr, factor_hodlr
 
     cfg = get_config()
@@ -38,7 +38,8 @@ def _hierarchical_factor(hmatrix):
     h = build_hodlr(apply_fn, n, hmatrix.dtype, eps,
                     leaf_size=cfg.hodlr_leaf_size,
                     sample_size=cfg.hodlr_sample_size,
-                    power_iters=cfg.hodlr_power_iters)
+                    power_iters=cfg.hodlr_power_iters,
+                    sym=sym)
     return factor_hodlr(h)
 
 
@@ -59,7 +60,10 @@ def cholesky_factorization(hmatrix, UPLO: str = "L") -> None:
     if n != nc:
         raise ValueError("cholesky_factorization requires a square H-matrix")
     if n > get_config().hodlr_threshold:
-        hmatrix._factorization = ("hodlr", _hierarchical_factor(hmatrix))
+        # symmetric HODLR-Woodbury: sample one triangle, mirror the factors
+        sym = "H" if np.issubdtype(hmatrix.dtype, np.complexfloating) else "S"
+        hmatrix._factorization = ("hodlr",
+                                  _hierarchical_factor(hmatrix, sym=sym))
         return
     a = jnp.asarray(hmatrix.to_dense())
     c = jsl.cholesky(a, lower=(UPLO == "L"))
@@ -76,6 +80,14 @@ def _solve_internal(hmatrix, trans: str, b_int):
         _, lu, piv = hmatrix._factorization
         t = {"N": 0, "T": 1, "C": 2}[trans]
         x = jsl.lu_solve((lu, piv), jnp.asarray(b2), trans=t)
+    elif kind == "hodlr":
+        from ..ops.hodlr import hodlr_solve
+        _, fact = hmatrix._factorization
+        b_dev = jnp.asarray(b2)
+        x = hodlr_solve(fact, b_dev, trans)
+        for _ in range(get_config().hodlr_refine_iters):
+            r = b_dev - hmatrix._apply_internal_2d(x, trans)
+            x = x + hodlr_solve(fact, r, trans)
     else:
         _, c, UPLO = hmatrix._factorization
         lower = UPLO == "L"

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..clustering.cluster import Cluster
 from ..config import get_config
-from ..ops.matvec import apply_hmatrix_padded, pack_bucket_data
+from ..ops.matvec import apply_hmatrix, apply_hmatrix_user, pack_bucket_data
 from .assembly import assemble
 from .plan import BlockPlan, build_block_plan
 
@@ -39,12 +39,15 @@ class HMatrix:
         self.UPLO = plan.UPLO
         self.dtype = np.dtype(dtype)
         self._factorization = None  # set by lu/cholesky_factorization
+        self._dev_perms = None  # lazy device permutation cache
 
         nt, ns = plan.nb_rows, plan.nb_cols
         maxdim = max([b.pt for b in plan.dense_buckets + plan.lowrank_buckets]
                      + [b.ps for b in plan.dense_buckets + plan.lowrank_buckets]
                      + [1])
-        self._pad_len = max(nt, ns) + maxdim
+        # +128 slack and 128-multiple length: the Pallas kernels read
+        # 128-aligned windows extended by one lane tile past any segment
+        self._pad_len = -(-(max(nt, ns) + maxdim + 128) // 128) * 128
 
     # ------------------------------------------------------------------
     @property
@@ -76,18 +79,26 @@ class HMatrix:
     # ------------------------------------------------------------------
     # products
     def _apply_internal_2d(self, x2d, trans: str):
-        """x2d: (nin, k) in internal numbering. Returns (nout, k)."""
+        """x2d: (nin, k) in internal numbering. Returns (nout, k).
+
+        Symmetric block-row plans (t_off_absolute) run in absolute
+        coordinates: the target segment is placed at / sliced from the
+        plan's target_offset."""
         nt, ns = self.shape
         nin = ns if trans == "N" else nt
         nout = nt if trans == "N" else ns
         if x2d.shape[0] != nin:
             raise ValueError(f"expected input of size {nin}, got {x2d.shape[0]}")
+        t_base = self.plan.target_offset if self.plan.t_off_absolute else 0
+        in_base = 0 if trans == "N" else t_base
+        out_base = t_base if trans == "N" else 0
         dtype = np.result_type(self.dtype, x2d.dtype)
         x_pad = jnp.zeros((self._pad_len, x2d.shape[1]), dtype=dtype)
-        x_pad = x_pad.at[:nin].set(jnp.asarray(x2d, dtype=dtype))
-        y_pad = apply_hmatrix_padded(self._data, x_pad, self._pad_len,
-                                     trans, self.symmetry)
-        return y_pad[:nout]
+        x_pad = x_pad.at[in_base:in_base + nin].set(
+            jnp.asarray(x2d, dtype=dtype))
+        y_pad = apply_hmatrix(self._data, x_pad, self._pad_len,
+                              trans, self.symmetry)
+        return y_pad[out_base:out_base + nout]
 
     def matvec_internal(self, x, trans: str = "N"):
         x = jnp.asarray(x)
@@ -95,23 +106,48 @@ class HMatrix:
         y = self._apply_internal_2d(x[:, None] if squeeze else x, trans)
         return y[:, 0] if squeeze else y
 
+    def _device_perms(self, trans: str):
+        """(perm_in, inv_perm_out) device arrays for user-numbering products,
+        cached per trans direction."""
+        if self._dev_perms is None:
+            self._dev_perms = {}
+        key = "N" if trans == "N" else "T"
+        if key not in self._dev_perms:
+            perm_t = self.plan.target_root.get_permutation()
+            perm_s = self.plan.source_root.get_permutation()
+            perm_in = perm_s if key == "N" else perm_t
+            perm_out = perm_t if key == "N" else perm_s
+            inv_out = np.empty_like(perm_out)
+            inv_out[perm_out] = np.arange(len(perm_out))
+            self._dev_perms[key] = (jnp.asarray(perm_in),
+                                    jnp.asarray(inv_out))
+        return self._dev_perms[key]
+
     def matvec(self, x, trans: str = "N"):
         """Product in user numbering (root H-matrices).  For sub-blocks
-        (local H-matrices) internal == local numbering; use matvec_internal."""
+        (local H-matrices) internal == local numbering; use matvec_internal.
+
+        Accepts numpy or jax input; a jax input stays device-resident and a
+        jax array is returned (no host synchronization)."""
         if not self.is_root():
             return np.asarray(self.matvec_internal(x, trans))
-        perm_t = self.plan.target_root.get_permutation()
-        perm_s = self.plan.source_root.get_permutation()
-        perm_in = perm_s if trans == "N" else perm_t
-        perm_out = perm_t if trans == "N" else perm_s
-        x = np.asarray(x)
-        if x.shape[0] != len(perm_in):
+        device_io = isinstance(x, jnp.ndarray)
+        perm_in, inv_out = self._device_perms(trans)
+        x = jnp.asarray(x)
+        if x.shape[0] != perm_in.shape[0]:
             raise ValueError(
-                f"expected input of size {len(perm_in)}, got {x.shape[0]}")
-        y_int = np.asarray(self.matvec_internal(x[perm_in], trans))
-        y = np.empty(y_int.shape, dtype=y_int.dtype)
-        y[perm_out] = y_int
-        return y
+                f"expected input of size {perm_in.shape[0]}, got {x.shape[0]}")
+        squeeze = x.ndim == 1
+        x2d = x[:, None] if squeeze else x
+        nout = self.shape[0] if trans == "N" else self.shape[1]
+        from ..ops.matvec import resolve_backend
+        backend = resolve_backend(self._data, self._pad_len, x2d.shape[1],
+                                  np.result_type(self.dtype, x.dtype))
+        y = apply_hmatrix_user(self._data, perm_in, inv_out, x2d,
+                               self._pad_len, trans, self.symmetry, nout,
+                               backend)
+        y = y[:, 0] if squeeze else y
+        return y if device_io else np.asarray(y)
 
     def __mul__(self, x):
         x = np.asarray(x)
@@ -130,28 +166,29 @@ class HMatrix:
     def to_dense(self) -> np.ndarray:
         """Dense matrix in the cluster-internal numbering of this block."""
         nt, ns = self.shape
+        tb = self.plan.target_offset if self.plan.t_off_absolute else 0
         out = np.zeros((nt, ns), dtype=self.dtype)
         for (D, t_off, s_off, mirror), b in zip(self._data["dense"],
                                                 self.plan.dense_buckets):
             Dh = np.asarray(D)
             for i in range(b.nb):
                 blk = Dh[i, :b.t_sz[i], :b.s_sz[i]]
-                out[b.t_off[i]:b.t_off[i] + b.t_sz[i],
+                out[b.t_off[i] - tb:b.t_off[i] - tb + b.t_sz[i],
                     b.s_off[i]:b.s_off[i] + b.s_sz[i]] = blk
                 if b.mirror[i]:
                     m = blk.conj().T if self.symmetry == "H" else blk.T
-                    out[b.s_off[i]:b.s_off[i] + b.s_sz[i],
+                    out[b.s_off[i] - tb:b.s_off[i] - tb + b.s_sz[i],
                         b.t_off[i]:b.t_off[i] + b.t_sz[i]] = m
         for (U, V, t_off, s_off, mirror), b in zip(self._data["lr"],
                                                    self.plan.lowrank_buckets):
             Uh, Vh = np.asarray(U), np.asarray(V)
             for i in range(b.nb):
                 blk = Uh[i, :b.t_sz[i], :] @ Vh[i, :, :b.s_sz[i]]
-                out[b.t_off[i]:b.t_off[i] + b.t_sz[i],
+                out[b.t_off[i] - tb:b.t_off[i] - tb + b.t_sz[i],
                     b.s_off[i]:b.s_off[i] + b.s_sz[i]] = blk
                 if b.mirror[i]:
                     m = blk.conj().T if self.symmetry == "H" else blk.T
-                    out[b.s_off[i]:b.s_off[i] + b.s_sz[i],
+                    out[b.s_off[i] - tb:b.s_off[i] - tb + b.s_sz[i],
                         b.t_off[i]:b.t_off[i] + b.t_sz[i]] = m
         return out
 
@@ -204,6 +241,7 @@ class HMatrix:
         new.UPLO = self.UPLO
         new.dtype = self.dtype
         new._factorization = None
+        new._dev_perms = self._dev_perms  # immutable device arrays
         new._pad_len = self._pad_len
         return new
 
@@ -301,6 +339,12 @@ class HMatrixTreeBuilder:
         self.UPLO = UPLO
         self.reqrank = int(reqrank)
         self.low_rank_strategy = low_rank_strategy
+        if low_rank_strategy is not None:
+            from ..utils.logger import get_logger
+            get_logger().warning(
+                "low_rank_strategy %r has no effect: the device compressor "
+                "is batched ACA+SVD recompression; use set_low_rank_generator"
+                " for a custom compressor", low_rank_strategy)
         self._low_rank_generator = None
         self._dense_blocks_generator = None
         self._minimal_target_depth = 0
@@ -321,6 +365,11 @@ class HMatrixTreeBuilder:
         self._minimal_source_depth = int(d)
 
     def set_block_tree_consistency(self, flag: bool):
+        if not flag:
+            from ..utils.logger import get_logger
+            get_logger().warning(
+                "set_block_tree_consistency(False) has no effect: flat "
+                "bucketed plans are always built consistently here")
         self._block_tree_consistency = bool(flag)
 
     def set_dtype(self, dtype):
@@ -333,17 +382,38 @@ class HMatrixTreeBuilder:
         if target_partition_number >= 0:
             t_node = target_cluster.get_cluster_on_partition(
                 target_partition_number)
-        # symmetric structure only applies when target and source coincide
+        # symmetric structure applies when target and source coincide, or —
+        # with partition_number_for_symmetry (reference:
+        # hmatrix_tree_builder.hpp:36) — on the partition-diagonal sub-block
+        # of a block-row build
         sym = self.symmetry
         uplo = self.UPLO
+        sym_partition_diag = False
         if (t_node.tree is not source_cluster.tree
                 or t_node.node != source_cluster.node):
-            sym, uplo = "N", "N"
+            if (sym != "N" and partition_number_for_symmetry >= 0
+                    and t_node.tree is source_cluster.tree):
+                if (target_partition_number >= 0
+                        and partition_number_for_symmetry
+                        != target_partition_number):
+                    raise ValueError(
+                        "partition_number_for_symmetry must match "
+                        "target_partition_number")
+                sym_partition_diag = True
+            else:
+                if sym != "N":
+                    from ..utils.logger import get_logger
+                    get_logger().warning(
+                        "symmetric build of a non-diagonal sub-block without "
+                        "partition_number_for_symmetry: falling back to "
+                        "unsymmetric ('N') storage")
+                sym, uplo = "N", "N"
         plan = build_block_plan(
             t_node, source_cluster, self.eta, sym, uplo,
             self._minimal_target_depth, self._minimal_source_depth,
             target_root=Cluster(target_cluster.tree, 0),
             source_root=Cluster(source_cluster.tree, 0),
+            symmetric_partition_diag=sym_partition_diag,
         )
         dtype = self._dtype
         if dtype is None:

@@ -69,6 +69,12 @@ class BlockPlan:
     lowrank_buckets: list  # list[Bucket]
     minimal_target_depth: int = 0
     minimal_source_depth: int = 0
+    # symmetric block-row plans (partition_number_for_symmetry builds,
+    # reference: hmatrix_tree_builder.hpp:36) store t_off in ABSOLUTE
+    # internal coordinates (not relative to target_offset) so that the
+    # partition-diagonal mirror blocks gather/scatter consistently with the
+    # global s_off numbering
+    t_off_absolute: bool = False
 
     @property
     def nb_rows(self) -> int:
@@ -110,12 +116,23 @@ def build_block_plan(
     minimal_source_depth: int = 0,
     target_root: Cluster | None = None,
     source_root: Cluster | None = None,
+    symmetric_partition_diag: bool = False,
 ) -> BlockPlan:
     """eta-admissibility descent from (target_cluster, source_cluster).
 
     With symmetry 'S'/'H' only one triangle is planned (per UPLO); each kept
     strictly-off-diagonal leaf is flagged mirror=True, meaning its transposed
     (conjugated for 'H') contribution is added during products/densify.
+
+    symmetric_partition_diag=True is the block-row build of a symmetric
+    operator (reference `partition_number_for_symmetry`,
+    src/htool/hmatrix/hmatrix_tree_builder.hpp:36): target_cluster is a
+    partition node of the SAME tree as source_cluster (the root); the
+    partition-diagonal sub-block keeps one triangle + mirror flags while
+    the off-diagonal column blocks are planned unsymmetric — the block row
+    stays locally complete (its products need no other partition's data,
+    the reference's per-rank MPI model).  Such plans store t_off in
+    ABSOLUTE coordinates (BlockPlan.t_off_absolute).
     """
     tt, ss = target_cluster.tree, source_cluster.tree
     t_base = target_cluster.get_offset()
@@ -127,7 +144,37 @@ def build_block_plan(
     lowrank: list[tuple] = []
 
     # stack entries: (t_node, s_node, symmetric_diagonal, mirror)
-    stack = [(target_cluster.node, source_cluster.node, sym, False)]
+    if symmetric_partition_diag and sym:
+        if tt is not ss:
+            raise ValueError("symmetric_partition_diag requires target and "
+                             "source from the same cluster tree")
+        # descend the source side until it reaches the partition node; the
+        # siblings passed on the way are the unsymmetric off-diagonal column
+        # blocks of this block row
+        t = target_cluster.node
+        t_lo = int(tt.offsets[t])
+        t_hi = t_lo + int(tt.sizes[t])
+        stack = []
+        s = source_cluster.node
+        while s != t:
+            nxt = None
+            for c in ss.children_of(s):
+                c_lo = int(ss.offsets[c])
+                c_hi = c_lo + int(ss.sizes[c])
+                if c_lo <= t_lo and c_hi >= t_hi:
+                    nxt = c
+                else:
+                    stack.append((t, c, False, False))
+            if nxt is None:
+                raise ValueError(
+                    "target partition node is not reachable from the source "
+                    "root (malformed cluster tree)")
+            s = nxt
+        stack.append((t, t, True, False))
+        t_base = 0  # absolute t offsets
+    else:
+        symmetric_partition_diag = False
+        stack = [(target_cluster.node, source_cluster.node, sym, False)]
     while stack:
         t, s, on_diag, mirror = stack.pop()
         t_sz, s_sz = int(tt.sizes[t]), int(ss.sizes[s])
@@ -180,6 +227,7 @@ def build_block_plan(
         lowrank_buckets=_bucketize(lowrank),
         minimal_target_depth=minimal_target_depth,
         minimal_source_depth=minimal_source_depth,
+        t_off_absolute=symmetric_partition_diag,
     )
 
 

@@ -25,6 +25,38 @@ import numpy as np
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _pow2_ceil(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _pow2_floor(n: int) -> int:
+    return _pow2_ceil(n + 1) // 2 if n >= 1 else 1
+
+
+def _chunk_cap(per_block_elems: int) -> int:
+    """Largest power-of-two batch size keeping one chunk's dominant operand
+    under the configured assembly memory budget."""
+    from ..config import get_config
+
+    budget = get_config().assembly_chunk_elems
+    return max(8, _pow2_floor(budget // max(per_block_elems, 1)))
+
+
+def _chunk_slices(nb: int, cap: int):
+    """Yield (start, stop, padded_size) covering [0, nb) in chunks.
+
+    Chunks are `cap`-sized when nb > cap; a single pow2-padded chunk
+    otherwise — so compiles are keyed by a bounded set of batch sizes."""
+    if nb <= cap:
+        yield 0, nb, _pow2_ceil(nb)
+        return
+    for i0 in range(0, nb, cap):
+        yield i0, min(i0 + cap, nb), cap
+
+
 def batched_aca(gen, t_idx, s_idx, t_sz, s_sz, rmax: int, eps: float,
                 reqrank: int, dtype):
     """Compress one bucket of admissible blocks.
@@ -42,12 +74,69 @@ def batched_aca(gen, t_idx, s_idx, t_sz, s_sz, rmax: int, eps: float,
     columns >= rank zeroed.  ok=False => ACA did not converge (caller
     densifies those blocks).
     """
-    t_idx = jnp.asarray(np.asarray(t_idx), dtype=jnp.int32)
-    s_idx = jnp.asarray(np.asarray(s_idx), dtype=jnp.int32)
-    t_sz = jnp.asarray(np.asarray(t_sz), dtype=jnp.int32)
-    s_sz = jnp.asarray(np.asarray(s_sz), dtype=jnp.int32)
-    return _batched_aca_jit(gen, int(rmax), float(eps), int(reqrank),
-                            np.dtype(dtype), t_idx, s_idx, t_sz, s_sz)
+    t_idx = np.asarray(t_idx, dtype=np.int32)
+    s_idx = np.asarray(s_idx, dtype=np.int32)
+    t_sz = np.asarray(t_sz, dtype=np.int32)
+    s_sz = np.asarray(s_sz, dtype=np.int32)
+    nb, pt = t_idx.shape
+    ps = s_idx.shape[1]
+    # ACA state per block ~ pt*rmax + rmax*ps (+ generator row/col evals)
+    cap = _chunk_cap((pt + ps) * (int(rmax) + 16) * 2)
+    outs = []
+    for i0, i1, size in _chunk_slices(nb, cap):
+        c = i1 - i0
+        ti = np.repeat(t_idx[i1 - 1:i1], size, 0)
+        si = np.repeat(s_idx[i1 - 1:i1], size, 0)
+        tz = np.zeros(size, np.int32)
+        sz = np.zeros(size, np.int32)
+        ti[:c], si[:c] = t_idx[i0:i1], s_idx[i0:i1]
+        tz[:c], sz[:c] = t_sz[i0:i1], s_sz[i0:i1]
+        U, V, rk, ok = _batched_aca_jit(
+            gen, int(rmax), float(eps), int(reqrank), np.dtype(dtype),
+            jnp.asarray(ti), jnp.asarray(si), jnp.asarray(tz),
+            jnp.asarray(sz))
+        outs.append((U[:c], V[:c], rk[:c], ok[:c]))
+    if len(outs) == 1:
+        return outs[0]
+    return (jnp.concatenate([o[0] for o in outs]),
+            jnp.concatenate([o[1] for o in outs]),
+            jnp.concatenate([o[2] for o in outs]),
+            jnp.concatenate([o[3] for o in outs]))
+
+
+def truncate_eps_array(eps):
+    return jnp.asarray(eps, dtype=jnp.float64
+                       if jax.config.jax_enable_x64 else jnp.float32)
+
+
+def concat_rank_chunks(chunks, dtype):
+    """Concatenate per-chunk (U, V, ranks, ok) tuples whose factors were
+    trimmed to each chunk's own max rank: pad the rank axis to the overall
+    max (device-side), then concatenate along the block axis.
+
+    Fusing truncation into the chunk loop and concatenating *trimmed*
+    factors bounds peak memory by the final compressed size, not by
+    nb * rmax (the round-1 OOM shape)."""
+    rmaxb = max(max(int(np.asarray(r).max(initial=0)) for _, _, r, _ in chunks), 1)
+    Us, Vs, rks, oks = [], [], [], []
+    for U, V, rk, ok in chunks:
+        w = U.shape[2]
+        if w < rmaxb:
+            U = jnp.concatenate(
+                [U, jnp.zeros((U.shape[0], U.shape[1], rmaxb - w),
+                              dtype=dtype)], axis=2)
+            V = jnp.concatenate(
+                [V, jnp.zeros((V.shape[0], rmaxb - w, V.shape[2]),
+                              dtype=dtype)], axis=1)
+        else:
+            U, V = U[:, :, :rmaxb], V[:, :rmaxb, :]
+        Us.append(U)
+        Vs.append(V)
+        rks.append(np.asarray(rk))
+        oks.append(np.asarray(ok))
+    U = Us[0] if len(Us) == 1 else jnp.concatenate(Us)
+    V = Vs[0] if len(Vs) == 1 else jnp.concatenate(Vs)
+    return U, V, np.concatenate(rks), np.concatenate(oks)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
@@ -73,8 +162,9 @@ def _batched_aca_jit(gen, rmax, eps, reqrank, dtype, t_idx, s_idx, t_sz, s_sz):
     def body(state):
         k, U, V, used, next_i, fro2, rank, conv_cnt, stopped = state
         i_k = next_i  # (nb,)
-        # residual row at i_k
-        rows = gen.device_rows(t_idx[arange_nb, i_k], s_idx)  # (nb, ps)
+        # residual row at i_k (cast: generator may evaluate in f64 under x64)
+        rows = gen.device_rows(t_idx[arange_nb, i_k],
+                               s_idx).astype(dtype)  # (nb, ps)
         Ui = U[arange_nb, i_k]  # (nb, rmax)
         rows = rows - jnp.einsum("nr,nrj->nj", Ui, V, precision=_HI)
         rows = jnp.where(col_valid, rows, 0)
@@ -88,7 +178,8 @@ def _batched_aca_jit(gen, rmax, eps, reqrank, dtype, t_idx, s_idx, t_sz, s_sz):
         safe_delta = jnp.where(zero_piv, 1.0, delta)
         v_k = rows / safe_delta[:, None]
         # residual column at j_k
-        cols = gen.device_cols(t_idx, s_idx[arange_nb, j_k])  # (nb, pt)
+        cols = gen.device_cols(t_idx,
+                               s_idx[arange_nb, j_k]).astype(dtype)  # (nb, pt)
         Vj = V[arange_nb, :, j_k]  # (nb, rmax)
         cols = cols - jnp.einsum("nir,nr->ni", U, Vj, precision=_HI)
         u_k = jnp.where(row_valid, cols, 0)
@@ -181,13 +272,34 @@ def batched_truncate(U, V, ranks, eps: float, reqrank: int = -1):
     Returns (U', V', ranks') with trailing columns zeroed.
     """
     nb, pt, r = U.shape
+    ps = V.shape[2]
     if r == 0 or nb == 0:
         return U, V, ranks
-    return _batched_truncate_jit(int(reqrank), jnp.asarray(U), jnp.asarray(V),
-                                 jnp.asarray(ranks),
-                                 jnp.asarray(eps, dtype=jnp.float64
-                                             if jax.config.jax_enable_x64
-                                             else jnp.float32))
+    U = jnp.asarray(U)
+    V = jnp.asarray(V)
+    ranks = jnp.asarray(ranks)
+    eps_arr = jnp.asarray(eps, dtype=jnp.float64
+                          if jax.config.jax_enable_x64 else jnp.float32)
+    # peak operand per block ~ QR workspaces + factors: (pt + ps + 4r) * r
+    cap = _chunk_cap((pt + ps + 4 * r) * r)
+    outs = []
+    for i0, i1, size in _chunk_slices(nb, cap):
+        c = i1 - i0
+        Uc, Vc, rc = U[i0:i1], V[i0:i1], ranks[i0:i1]
+        if size != c:
+            Uc = jnp.concatenate(
+                [Uc, jnp.zeros((size - c, pt, r), dtype=U.dtype)])
+            Vc = jnp.concatenate(
+                [Vc, jnp.zeros((size - c, r, ps), dtype=V.dtype)])
+            rc = jnp.concatenate(
+                [rc, jnp.zeros((size - c,), dtype=ranks.dtype)])
+        Un, Vn, rn = _batched_truncate_jit(int(reqrank), Uc, Vc, rc, eps_arr)
+        outs.append((Un[:c], Vn[:c], rn[:c]))
+    if len(outs) == 1:
+        return outs[0]
+    return (jnp.concatenate([o[0] for o in outs]),
+            jnp.concatenate([o[1] for o in outs]),
+            jnp.concatenate([o[2] for o in outs]))
 
 
 @partial(jax.jit, static_argnums=(0,))

@@ -167,11 +167,17 @@ def hodlr_matvec(h: HODLR, x, trans: str = "N"):
 
 def build_hodlr(apply_fn, n: int, dtype, eps: float, leaf_size: int = 256,
                 sample_size: int = 32, power_iters: int = 1,
-                rng: np.random.Generator | None = None) -> HODLR:
+                rng: np.random.Generator | None = None,
+                sym: str = "N") -> HODLR:
     """Compress the operator `apply_fn` into HODLR form.
 
     apply_fn(X, trans): (n, k) -> (n, k) for trans in {'N','T','C'}.
     eps: per-block relative Frobenius truncation tolerance.
+    sym: 'S' (A_ba = A_ab^T) or 'H' (A_ba = A_ab^H) samples only the upper
+    off-diagonal blocks and mirrors the factors — half the peeling work and
+    an exactly (skew-free) symmetric representation, the symmetric variant
+    the reference's `cholesky_factorization` implies
+    (src/htool/hmatrix/hmatrix.hpp:61-63).
     """
     if rng is None:
         rng = np.random.default_rng(0x5eed)
@@ -198,10 +204,11 @@ def build_hodlr(apply_fn, n: int, dtype, eps: float, leaf_size: int = 256,
         # child parity of each row at this level: 0 = "a" (even child)
         parity = (row // m) % 2
         k = min(max(sample_size, 16), m)
+        sides = ("up",) if sym in ("S", "H") else ("up", "lo")
         while True:
             factors = []
             ok = True
-            for side in ("up", "lo"):
+            for side in sides:
                 # sample columns of the (a,b) block (side 'up'): probes live
                 # on b rows; results read on a rows (and vice versa)
                 src = (parity == (1 if side == "up" else 0)) & valid
@@ -237,6 +244,15 @@ def build_hodlr(apply_fn, n: int, dtype, eps: float, leaf_size: int = 256,
             if ok:
                 break
             k = min(2 * k, m)
+        if sym in ("S", "H"):
+            # mirror: A_ba = (U_up V_up)^sigma  =>  U_lo = V_up^sigma,
+            # V_lo = U_up^sigma  (sigma = T for 'S', H for 'H')
+            U_up1, V_up1, r_up1 = factors[0]
+            U_lo1 = jnp.swapaxes(V_up1, 1, 2)
+            V_lo1 = jnp.swapaxes(U_up1, 1, 2)
+            if sym == "H":
+                U_lo1, V_lo1 = jnp.conj(U_lo1), jnp.conj(V_lo1)
+            factors.append((U_lo1, V_lo1, r_up1))
         r_up = factors[0][2]
         r_lo = factors[1][2]
         rmaxs = [int(r.max()) if len(r) else 1 for r in (r_up, r_lo)]

@@ -132,6 +132,58 @@ def apply_hmatrix_padded(data, x_pad, ny_pad: int, trans: str, sym: str):
     return y
 
 
+def resolve_backend(data, L: int, k: int, x_dtype) -> str:
+    """Pick the product backend OUTSIDE any jit (so the choice is part of
+    the compile key): Pallas kernels on TPU for real dtypes that fit VMEM
+    (ops/pallas_matvec.py), the XLA gather/scatter path otherwise (CPU
+    tests, f64 parity runs, complex)."""
+    from ..config import get_config
+    from .pallas_matvec import pallas_supported
+
+    forced = get_config().matvec_backend
+    if forced == "xla":
+        return "xla"
+    if forced == "pallas":
+        return "pallas" if pallas_supported(data, L, k, x_dtype) else "xla"
+    if jax.default_backend() == "tpu" and pallas_supported(data, L, k,
+                                                           x_dtype):
+        return "pallas"
+    return "xla"
+
+
+def apply_hmatrix(data, x_pad, ny_pad: int, trans: str, sym: str,
+                  backend: str | None = None):
+    """Backend-dispatched bucketed product (see resolve_backend)."""
+    from .pallas_matvec import apply_hmatrix_pallas
+
+    if backend is None:
+        backend = resolve_backend(data, x_pad.shape[0], x_pad.shape[1],
+                                  x_pad.dtype)
+    if backend == "pallas":
+        return apply_hmatrix_pallas(data, x_pad, ny_pad, trans, sym,
+                                    interpret=jax.default_backend() != "tpu")
+    return apply_hmatrix_padded(data, x_pad, ny_pad, trans, sym)
+
+
+@partial(jax.jit, static_argnames=("pad_len", "trans", "sym", "nout",
+                                   "backend"))
+def apply_hmatrix_user(data, perm_in, inv_perm_out, x2d, pad_len: int,
+                       trans: str, sym: str, nout: int,
+                       backend: str | None = None):
+    """End-to-end product in user numbering as ONE device program:
+    permute in -> pad -> bucketed product -> un-permute.  Keeping the
+    permutations inside the jit means a full matvec is a single dispatch
+    and operands stay device-resident across Krylov iterations."""
+    dtype = jnp.result_type(x2d.dtype,
+                            *(d[0].dtype for d in data["dense"]),
+                            *(u[0].dtype for u in data["lr"]))
+    x_int = x2d[perm_in].astype(dtype)
+    x_pad = jnp.zeros((pad_len, x2d.shape[1]), dtype=dtype)
+    x_pad = x_pad.at[:x_int.shape[0]].set(x_int)
+    y_pad = apply_hmatrix(data, x_pad, pad_len, trans, sym, backend)
+    return y_pad[:nout][inv_perm_out]
+
+
 def pack_bucket_data(dense_buckets, dense_arrays, lr_buckets, lr_arrays):
     """Build the pytree consumed by apply_hmatrix_padded from plan buckets
     (host numpy offsets) and device data arrays."""

@@ -1,0 +1,213 @@
+"""Pallas TPU kernels for the bucketed H-matrix product (the hot path).
+
+TPU-native replacement for the XLA gather/scatter formulation in
+ops/matvec.py (reference contract: `add_hmatrix_vector_product`,
+src/htool/hmatrix/hmatrix.hpp:96-139).  XLA lowers the per-bucket
+gather -> batched-GEMM -> scatter-add onto TPU scatter loops that run ~40x
+off the HBM roofline; these kernels instead stream each bucket's block
+data HBM -> VMEM (auto double-buffered by the Pallas pipeline), keep the
+*whole* padded input and output vectors resident in VMEM in a transposed
+(k, L) layout (minor dim = L, so a column vector does not explode to 128
+lanes per element), and accumulate output segments in VMEM across the
+sequential grid.  Per block the work is one (k, ps) x (ps, pt) MXU
+contraction; the kernel is bandwidth-bound on the block data, which is
+read exactly once at streaming rate.
+
+Scalar block offsets ride the scalar-prefetch channel
+(`pltpu.PrefetchScalarGridSpec`), so the pipeline can compute VMEM slices
+before each grid step.
+
+Real dtypes only ('T' == 'C' and 'S' == 'H' then); complex falls back to
+the XLA path in the dispatcher (ops/matvec.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# conservative VMEM budget for x + y + the streamed block buffers
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _dot(a, b, dims, dtype):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32).astype(dtype)
+
+
+# Mosaic requires dynamic lane-dimension slice offsets to be provable
+# multiples of 128, but H-matrix block offsets are arbitrary cluster-tree
+# offsets.  Standard TPU trick: slice a 128-extended window at the aligned
+# base and dynamic-rotate (tpu.DynamicRotate) by the residual — a cheap VPU
+# lane shuffle of a (k, width+128) tile.
+
+def _load_seg(x_ref, off, width: int):
+    """x_ref[:, off:off+width] with an arbitrary dynamic offset."""
+    base = pl.multiple_of((off // 128) * 128, 128)
+    win = x_ref[:, pl.ds(base, width + 128)]
+    sh = off - base  # 0..127
+    return pltpu.roll(win, width + 128 - sh, 1)[:, :width]
+
+
+def _accum_seg(y_ref, off, width: int, acc):
+    """y_ref[:, off:off+width] += acc with an arbitrary dynamic offset."""
+    base = pl.multiple_of((off // 128) * 128, 128)
+    win = y_ref[:, pl.ds(base, width + 128)]
+    sh = off - base
+    buf = jnp.pad(acc, ((0, 0), (0, 128)))
+    y_ref[:, pl.ds(base, width + 128)] = win + pltpu.roll(buf, sh, 1)
+
+
+def _dense_bucket_kernel(swapped: bool, sym: bool, pt: int, ps: int,
+                         t_off, s_off, mir, D_ref, x_ref, y_ref):
+    """One grid step = one block: y[:, out_seg] += x[:, in_seg] . D."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    D = D_ref[0]  # (pt, ps)
+    dtype = y_ref.dtype
+    to, so = t_off[i], s_off[i]
+
+    def main_term():
+        # y[t] += D @ x[s]  (as (k,ps) x contract ps -> (k,pt))
+        xs = _load_seg(x_ref, so, ps)
+        acc = _dot(xs, D, (((1,), (1,))), dtype)
+        _accum_seg(y_ref, to, pt, acc)
+
+    def mirror_term():
+        # y[s] += D^T @ x[t]
+        xt = _load_seg(x_ref, to, pt)
+        acc = _dot(xt, D, (((1,), (0,))), dtype)
+        _accum_seg(y_ref, so, ps, acc)
+
+    # trans: the transposed product exchanges the two terms
+    if not swapped:
+        main_term()
+        if sym:
+            @pl.when(mir[i] != 0)
+            def _():
+                mirror_term()
+    else:
+        mirror_term()
+        if sym:
+            @pl.when(mir[i] != 0)
+            def _():
+                main_term()
+
+
+def _lr_bucket_kernel(swapped: bool, sym: bool, pt: int, r: int, ps: int,
+                      t_off, s_off, mir, U_ref, V_ref, x_ref, y_ref):
+    """One grid step = one low-rank block: two-stage MXU contraction."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    U = U_ref[0]  # (pt, r)
+    V = V_ref[0]  # (r, ps)
+    dtype = y_ref.dtype
+    to, so = t_off[i], s_off[i]
+
+    def main_term():
+        xs = _load_seg(x_ref, so, ps)
+        w = _dot(xs, V, (((1,), (1,))), dtype)  # (k, r)
+        acc = _dot(w, U, (((1,), (1,))), dtype)  # (k, pt)
+        _accum_seg(y_ref, to, pt, acc)
+
+    def mirror_term():
+        xt = _load_seg(x_ref, to, pt)
+        w = _dot(xt, U, (((1,), (0,))), dtype)  # (k, r)
+        acc = _dot(w, V, (((1,), (0,))), dtype)  # (k, ps)
+        _accum_seg(y_ref, so, ps, acc)
+
+    if not swapped:
+        main_term()
+        if sym:
+            @pl.when(mir[i] != 0)
+            def _():
+                mirror_term()
+    else:
+        mirror_term()
+        if sym:
+            @pl.when(mir[i] != 0)
+            def _():
+                main_term()
+
+
+def _bucket_call(kernel, blocks, xT, t_off, s_off, mir, interpret):
+    """Launch one bucket's kernel: blocks is a tuple of (nb, ...) arrays."""
+    nb = t_off.shape[0]
+    k, L = xT.shape
+    in_specs = [
+        pl.BlockSpec((1,) + tuple(b.shape[1:]), lambda i, *_: (i,) + (0,) * (b.ndim - 1))
+        for b in blocks
+    ] + [pl.BlockSpec((k, L), lambda i, *_: (0, 0))]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((k, L), lambda i, *_: (0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, L), xT.dtype),
+        interpret=interpret,
+    )(t_off, s_off, mir, *blocks, xT)
+
+
+def pallas_supported(data, L: int, k: int, x_dtype) -> bool:
+    """True if the Pallas path can run this product (real dtype, VMEM fit)."""
+    dtypes = ([d[0].dtype for d in data["dense"]]
+              + [u.dtype for u, *_ in data["lr"]] + [jnp.dtype(x_dtype)])
+    if any(jnp.issubdtype(dt, jnp.complexfloating) for dt in dtypes):
+        return False
+    if any(dt == jnp.float64 for dt in dtypes):
+        return False  # f64 is emulated on TPU; XLA path handles parity runs
+    itemsize = jnp.dtype(x_dtype).itemsize
+    vec_bytes = 2 * k * max(L, 128) * itemsize
+    blk_bytes = 0
+    for d in data["dense"]:
+        blk_bytes = max(blk_bytes, d[0].shape[1] * d[0].shape[2] * itemsize)
+    for u, v, *_ in data["lr"]:
+        blk_bytes = max(blk_bytes,
+                        (u.shape[1] * u.shape[2] + v.shape[1] * v.shape[2])
+                        * itemsize)
+    return vec_bytes + 4 * blk_bytes < _VMEM_BUDGET
+
+
+@partial(jax.jit, static_argnames=("ny_pad", "trans", "sym", "interpret"))
+def apply_hmatrix_pallas(data, x_pad, ny_pad: int, trans: str, sym: str,
+                         interpret: bool = False):
+    """Same contract as ops.matvec.apply_hmatrix_padded, Pallas execution.
+
+    x_pad: (L, k) padded input (zeros in the pad region), L == ny_pad.
+    Returns y_pad (L, k).
+    """
+    swapped = trans != "N"
+    symmetric = sym != "N"
+    xT = jnp.swapaxes(x_pad, 0, 1)  # (k, L): minor dim dense across lanes
+    yT = jnp.zeros_like(xT)
+    for D, t_off, s_off, mirror in data["dense"]:
+        pt, ps = D.shape[1], D.shape[2]
+        kern = partial(_dense_bucket_kernel, swapped, symmetric, pt, ps)
+        yT = yT + _bucket_call(kern, (D,), xT,
+                               t_off.astype(jnp.int32),
+                               s_off.astype(jnp.int32),
+                               mirror.astype(jnp.int32), interpret)
+    for U, V, t_off, s_off, mirror in data["lr"]:
+        pt, r, ps = U.shape[1], U.shape[2], V.shape[2]
+        kern = partial(_lr_bucket_kernel, swapped, symmetric, pt, r, ps)
+        yT = yT + _bucket_call(kern, (U, V), xT,
+                               t_off.astype(jnp.int32),
+                               s_off.astype(jnp.int32),
+                               mirror.astype(jnp.int32), interpret)
+    return jnp.swapaxes(yT, 0, 1)

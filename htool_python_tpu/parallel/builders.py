@@ -52,10 +52,15 @@ class DefaultApproximationBuilder:
         block_diagonals = []
         src_renum = LocalRenumbering(0, source_cluster.get_size(),
                                      source_cluster.get_permutation())
+        sym_p = -1 if hmatrix_builder.symmetry == "N" else 0
         for p in range(P):
-            h = hmatrix_builder.build(generator, target_cluster,
-                                      source_cluster,
-                                      target_partition_number=p)
+            # symmetric operators: the partition-diagonal sub-block of each
+            # block row keeps one triangle + mirrors (reference passes the
+            # rank as partition_number_for_symmetry, utility.hpp:26-32)
+            h = hmatrix_builder.build(
+                generator, target_cluster, source_cluster,
+                target_partition_number=p,
+                partition_number_for_symmetry=(p if sym_p >= 0 else -1))
             hmatrices.append(h)
             op = LocalHMatrix(h)
             # block row: source window = the full source range
@@ -133,6 +138,9 @@ def _extract_block_diagonal(hmatrix, target_cluster, source_cluster, p):
     s_node = source_cluster.get_cluster_on_partition(p)
     s_lo = s_node.get_offset() - hmatrix.plan.source_offset
     s_hi = s_lo + s_node.get_size()
+    # symmetric block-row plans carry absolute t offsets; the extracted
+    # diagonal block is a standard local plan (both offsets partition-local)
+    tb = hmatrix.plan.target_offset if hmatrix.plan.t_off_absolute else 0
 
     dense_tuples, dense_mats = [], []
     for (D, *_), b in zip(hmatrix._data["dense"], hmatrix.plan.dense_buckets):
@@ -145,7 +153,7 @@ def _extract_block_diagonal(hmatrix, target_cluster, source_cluster, p):
             if Dh is None:
                 Dh = np.asarray(D)
             blk = Dh[i, :b.t_sz[i], clo - lo:chi - lo]
-            dense_tuples.append((int(b.t_off[i]), int(b.t_sz[i]),
+            dense_tuples.append((int(b.t_off[i]) - tb, int(b.t_sz[i]),
                                  clo - s_lo, chi - clo, bool(b.mirror[i])))
             dense_mats.append(blk)
     lr_tuples, lr_mats = [], []
@@ -161,7 +169,7 @@ def _extract_block_diagonal(hmatrix, target_cluster, source_cluster, p):
             if Uh is None:
                 Uh, Vh = np.asarray(U), np.asarray(V)
             r = int(ranks[i])
-            lr_tuples.append((int(b.t_off[i]), int(b.t_sz[i]),
+            lr_tuples.append((int(b.t_off[i]) - tb, int(b.t_sz[i]),
                               clo - s_lo, chi - clo, bool(b.mirror[i]), r))
             lr_mats.append((Uh[i, :b.t_sz[i], :r],
                             Vh[i, :r, clo - lo:chi - lo]))

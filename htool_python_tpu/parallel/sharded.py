@@ -38,27 +38,35 @@ def _stack_partition_data(hmatrices, n_pad_x, t_max):
     """Stack P block-row HMatrices into uniform per-shape bucket arrays with
     a leading partition axis (zero blocks pad partitions that lack a shape).
 
-    Returns a pytree: {'dense': [(D (P,nb,pt,ps), t_off (P,nb), s_off)],
-                       'lr': [(U, V, t_off, s_off)]}
-    Offsets are into the partition-local padded output (length t_max + pad)
-    for targets and the global padded input for sources; padding blocks
+    Returns a pytree:
+      {'dense': [(D (P,nb,pt,ps), t_off (P,nb), s_off, mir, mg, msc)],
+       'lr':    [(U, V, t_off, s_off, mir, mg, msc)]}
+    t_off indexes the partition-local padded output (length t_max + pad),
+    s_off the global padded input.  Symmetric block-row plans flag mirror
+    blocks (partition-diagonal triangle): `mir` (0/1), `mg` = the mirror's
+    x gather offset (global, = absolute t offset) and `msc` = its y scatter
+    offset (partition-local, = s_off - partition base).  Padding blocks
     scatter into the dummy tail region.
     """
     Pn = len(hmatrices)
     shapes_dense, shapes_lr = {}, {}
-    for h in hmatrices:
-        for (D, t_off, s_off, _), b in zip(h._data["dense"],
-                                           h.plan.dense_buckets):
-            shapes_dense.setdefault((b.pt, b.ps), [0] * Pn)
-        for (U, V, t_off, s_off, _), b in zip(h._data["lr"],
-                                              h.plan.lowrank_buckets):
-            key = (b.pt, U.shape[2], b.ps)
-            shapes_lr.setdefault(key, [0] * Pn)
     for p, h in enumerate(hmatrices):
         for (D, *_), b in zip(h._data["dense"], h.plan.dense_buckets):
-            shapes_dense[(b.pt, b.ps)][p] = b.nb
+            shapes_dense.setdefault((b.pt, b.ps), [0] * Pn)[p] = b.nb
         for (U, V, *_), b in zip(h._data["lr"], h.plan.lowrank_buckets):
-            shapes_lr[(b.pt, U.shape[2], b.ps)][p] = b.nb
+            shapes_lr.setdefault((b.pt, U.shape[2], b.ps), [0] * Pn)[p] = b.nb
+
+    def _offsets(h, b):
+        """(local t_off, global s_off, mirror, mirror-gather, mirror-scatter)
+        for one bucket of one partition's plan."""
+        tb = h.plan.target_offset if h.plan.t_off_absolute else 0
+        t_loc = b.t_off - tb
+        mir = b.mirror.astype(np.int32)
+        mg = np.where(b.mirror, b.t_off + (0 if h.plan.t_off_absolute
+                                           else h.plan.target_offset), 0)
+        msc = np.where(b.mirror,
+                       b.s_off - (h.plan.target_offset), 0)
+        return t_loc, b.s_off, mir, mg, msc
 
     dtype = hmatrices[0].dtype
     dense_stacked = []
@@ -67,15 +75,22 @@ def _stack_partition_data(hmatrices, n_pad_x, t_max):
         D = np.zeros((Pn, nb, pt, ps), dtype=dtype)
         t_off = np.full((Pn, nb), t_max, dtype=np.int32)  # pad -> dummy tail
         s_off = np.full((Pn, nb), n_pad_x - ps, dtype=np.int32)
+        mir = np.zeros((Pn, nb), dtype=np.int32)
+        mg = np.full((Pn, nb), n_pad_x - pt, dtype=np.int32)
+        msc = np.full((Pn, nb), t_max, dtype=np.int32)
         for p, h in enumerate(hmatrices):
             for (Dh, *_), b in zip(h._data["dense"], h.plan.dense_buckets):
                 if (b.pt, b.ps) != (pt, ps):
                     continue
                 D[p, :b.nb] = np.asarray(Dh)
-                t_off[p, :b.nb] = b.t_off
-                s_off[p, :b.nb] = b.s_off
-        dense_stacked.append((jnp.asarray(D), jnp.asarray(t_off),
-                              jnp.asarray(s_off)))
+                tl, so, mi, g, sc = _offsets(h, b)
+                t_off[p, :b.nb] = tl
+                s_off[p, :b.nb] = so
+                mir[p, :b.nb] = mi
+                mg[p, :b.nb] = np.where(mi, g, n_pad_x - pt)
+                msc[p, :b.nb] = np.where(mi, sc, t_max)
+        dense_stacked.append(tuple(jnp.asarray(a)
+                                   for a in (D, t_off, s_off, mir, mg, msc)))
     lr_stacked = []
     for (pt, r, ps), counts in sorted(shapes_lr.items()):
         nb = max(counts)
@@ -83,34 +98,55 @@ def _stack_partition_data(hmatrices, n_pad_x, t_max):
         V = np.zeros((Pn, nb, r, ps), dtype=dtype)
         t_off = np.full((Pn, nb), t_max, dtype=np.int32)
         s_off = np.full((Pn, nb), n_pad_x - ps, dtype=np.int32)
+        mir = np.zeros((Pn, nb), dtype=np.int32)
+        mg = np.full((Pn, nb), n_pad_x - pt, dtype=np.int32)
+        msc = np.full((Pn, nb), t_max, dtype=np.int32)
         for p, h in enumerate(hmatrices):
             for (Uh, Vh, *_), b in zip(h._data["lr"], h.plan.lowrank_buckets):
                 if (b.pt, Uh.shape[2], b.ps) != (pt, r, ps):
                     continue
                 U[p, :b.nb] = np.asarray(Uh)
                 V[p, :b.nb] = np.asarray(Vh)
-                t_off[p, :b.nb] = b.t_off
-                s_off[p, :b.nb] = b.s_off
-        lr_stacked.append((jnp.asarray(U), jnp.asarray(V), jnp.asarray(t_off),
-                           jnp.asarray(s_off)))
+                tl, so, mi, g, sc = _offsets(h, b)
+                t_off[p, :b.nb] = tl
+                s_off[p, :b.nb] = so
+                mir[p, :b.nb] = mi
+                mg[p, :b.nb] = np.where(mi, g, n_pad_x - pt)
+                msc[p, :b.nb] = np.where(mi, sc, t_max)
+        lr_stacked.append(tuple(jnp.asarray(a)
+                                for a in (U, V, t_off, s_off, mir, mg, msc)))
     return {"dense": dense_stacked, "lr": lr_stacked}
 
 
-def _local_block_row_apply(data, x_pad, t_pad_len):
-    """One partition's block-row product: x replicated -> local y segment."""
+def _local_block_row_apply(data, x_pad, t_pad_len, sym="N"):
+    """One partition's block-row product: x replicated -> local y segment.
+    Mirror blocks (symmetric partition-diagonal triangle) add their
+    (conj-)transposed contribution at partition-local offsets."""
     y = jnp.zeros((t_pad_len, x_pad.shape[1]), dtype=x_pad.dtype)
     iota = lambda n: jnp.arange(n, dtype=jnp.int32)
-    for D, t_off, s_off in data["dense"]:
+    conj = (lambda a: jnp.conj(a)) if sym == "H" else (lambda a: a)
+    for D, t_off, s_off, mir, mg, msc in data["dense"]:
         pt, ps = D.shape[1], D.shape[2]
         xg = x_pad[s_off[:, None] + iota(ps)[None, :]]
         yb = jnp.einsum("nij,njk->nik", D, xg)
         y = y.at[t_off[:, None] + iota(pt)[None, :]].add(yb)
-    for U, V, t_off, s_off in data["lr"]:
+        if sym != "N":
+            m = mir.astype(y.dtype)[:, None, None]
+            xg = x_pad[mg[:, None] + iota(pt)[None, :]]
+            yb = jnp.einsum("nij,nik->njk", conj(D), xg) * m
+            y = y.at[msc[:, None] + iota(ps)[None, :]].add(yb)
+    for U, V, t_off, s_off, mir, mg, msc in data["lr"]:
         pt, ps = U.shape[1], V.shape[2]
         xg = x_pad[s_off[:, None] + iota(ps)[None, :]]
         w = jnp.einsum("nrj,njk->nrk", V, xg)
         yb = jnp.einsum("nir,nrk->nik", U, w)
         y = y.at[t_off[:, None] + iota(pt)[None, :]].add(yb)
+        if sym != "N":
+            m = mir.astype(y.dtype)[:, None, None]
+            xg = x_pad[mg[:, None] + iota(pt)[None, :]]
+            w = jnp.einsum("nir,nik->nrk", conj(U), xg)
+            yb = jnp.einsum("nrj,nrk->njk", conj(V), w) * m
+            y = y.at[msc[:, None] + iota(ps)[None, :]].add(yb)
     return y
 
 
@@ -157,13 +193,14 @@ class ShardedDistributedOperator:
             return self._jitted[k]
         mesh = self.mesh
         t_pad_len = self.t_pad_len
+        sym = self.hmatrices[0].symmetry
 
         @partial(jax.shard_map, mesh=mesh,
                  in_specs=(P("p"), P(None, None)),
                  out_specs=P("p", None))
         def sharded_apply(data, x_pad):
             data = jax.tree.map(lambda a: a[0], data)  # strip partition axis
-            y_local = _local_block_row_apply(data, x_pad, t_pad_len)
+            y_local = _local_block_row_apply(data, x_pad, t_pad_len, sym)
             return y_local[None]  # (1, t_pad_len, k) per device
 
         self._jitted[k] = jax.jit(sharded_apply)

@@ -14,6 +14,10 @@ import logging
 logger = logging.getLogger("Htool")
 
 
+def get_logger() -> logging.Logger:
+    return logger
+
+
 def test_logger() -> None:
     """Emit one message per level (reference: misc/testing.hpp:5-11)."""
     logger.debug("Test debug message")

@@ -1,0 +1,68 @@
+"""Pallas matvec kernels vs the XLA reference path (interpret mode on CPU).
+
+The Pallas kernels (ops/pallas_matvec.py) are the TPU hot path; on the CPU
+test mesh they run through the Pallas interpreter, pinned here against the
+XLA gather/scatter formulation and the dense oracle
+(reference contract: tests/test_hmatrix.py:83 rel error < epsilon).
+"""
+
+import numpy as np
+import pytest
+
+import htool_python_tpu as H
+from htool_python_tpu.config import get_config
+
+
+@pytest.fixture
+def small_hmatrix():
+    np.random.seed(3)
+    n = 300
+    points = np.random.random((3, n))
+    cb = H.ClusterTreeBuilder()
+    cb.set_maximal_leaf_size(24)
+    cluster = cb.create_cluster_tree(points, 2)
+    from htool_python_tpu.models.kernels import inverse_distance_kernel
+    gen = H.KernelGenerator(inverse_distance_kernel(0.1), points, points)
+    return points, cluster, gen
+
+
+@pytest.mark.parametrize("symmetry,UPLO", [("N", "N"), ("S", "L"),
+                                           ("S", "U")])
+@pytest.mark.parametrize("trans", ["N", "T"])
+@pytest.mark.parametrize("mu", [1, 4])
+def test_pallas_matches_xla(small_hmatrix, symmetry, UPLO, trans, mu):
+    points, cluster, gen = small_hmatrix
+    hb = H.HMatrixTreeBuilder(1e-4, 10.0, symmetry, UPLO)
+    hb.set_dtype(np.float32)
+    hm = hb.build(gen, cluster, cluster)
+    n = hm.shape[0]
+    x = np.random.rand(n, mu).astype(np.float32)
+    cfg = get_config()
+    try:
+        cfg.matvec_backend = "xla"
+        y_ref = hm.matvec(x, trans=trans)
+        cfg.matvec_backend = "pallas"
+        y_pal = hm.matvec(x, trans=trans)
+    finally:
+        cfg.matvec_backend = None
+    err = np.linalg.norm(y_pal - y_ref) / np.linalg.norm(y_ref)
+    assert err < 1e-6, err
+
+
+def test_pallas_matches_dense_oracle(small_hmatrix):
+    points, cluster, gen = small_hmatrix
+    eps = 1e-3
+    hb = H.HMatrixTreeBuilder(eps, 10.0, "N", "N")
+    hb.set_dtype(np.float32)
+    hm = hb.build(gen, cluster, cluster)
+    n = hm.shape[0]
+    x = np.random.rand(n).astype(np.float32)
+    d = np.linalg.norm(points[:, :, None] - points[:, None, :], axis=0)
+    y_exact = (1.0 / (0.1 + d)) @ x
+    cfg = get_config()
+    try:
+        cfg.matvec_backend = "pallas"
+        y = hm.matvec(x)
+    finally:
+        cfg.matvec_backend = None
+    assert np.linalg.norm(y - y_exact) / np.linalg.norm(y_exact) < eps
