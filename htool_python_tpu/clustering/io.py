@@ -42,7 +42,21 @@ def write_cluster_to(cluster: Cluster, properties_path: str, tree_path: str) -> 
 def read_cluster_from(properties_path: str, tree_path: str) -> Cluster:
     with open(properties_path) as f:
         header = f.readline().strip().split(",")
-        nb_nodes, n_points, dim, mls, nb_part = (int(v) for v in header)
+        try:
+            nb_nodes, n_points, dim, mls, nb_part = (int(v) for v in header)
+        except ValueError:
+            # NOTE: the reference's on-disk layout lives in the
+            # lib/htool C++ core, which is not vendored in the snapshot
+            # (empty submodule) and ships no sample fixture — byte-level
+            # parity is unverifiable.  Fail with context instead of
+            # silently mis-parsing a foreign file.
+            raise ValueError(
+                f"{properties_path!r} is not in htool_python_tpu's cluster "
+                "CSV format (header must be 'nb_nodes,n_points,dim,"
+                "maximal_leaf_size,nb_partitions'). Files written by the "
+                "C++ htool core use that library's own (unvendored) "
+                "layout; regenerate them with write_cluster_to() or "
+                "tools/generate_test_data.py.") from None
         permutation = np.array([int(v) for v in f.readline().strip().split(",")],
                                dtype=np.int64)
         partition = np.array([int(v) for v in f.readline().strip().split(",")],

@@ -389,10 +389,22 @@ class HMatrixTreeBuilder:
         sym = self.symmetry
         uplo = self.UPLO
         sym_partition_diag = False
-        if (t_node.tree is not source_cluster.tree
-                or t_node.node != source_cluster.node):
+
+        def _trees_coincide(a, b):
+            # the reference workflow builds target and source clusters with
+            # separate create_cluster_tree calls on the same points
+            # (example/use_hmatrix.py:31-36); structural identity is what
+            # symmetric storage actually requires
+            return a is b or (
+                a.nb_nodes == b.nb_nodes
+                and np.array_equal(a.permutation, b.permutation)
+                and np.array_equal(a.offsets, b.offsets)
+                and np.array_equal(a.sizes, b.sizes))
+
+        same_tree = _trees_coincide(t_node.tree, source_cluster.tree)
+        if not same_tree or t_node.node != source_cluster.node:
             if (sym != "N" and partition_number_for_symmetry >= 0
-                    and t_node.tree is source_cluster.tree):
+                    and same_tree):
                 if (target_partition_number >= 0
                         and partition_number_for_symmetry
                         != target_partition_number):

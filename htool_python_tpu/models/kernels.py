@@ -34,6 +34,17 @@ def laplace_kernel(regularization: float = 1e-8):
     return k
 
 
+def hermitian_phase_kernel(wavenumber: float = 2.0, shift: float = 1e-1):
+    """exp(i w (x_0 - y_0)) / (shift + |x - y|): smooth, complex, and
+    HERMITIAN (k(y, x) = conj(k(x, y))) — the 'H'-symmetry test kernel."""
+
+    def k(x, y):
+        return jnp.exp(1j * wavenumber * (x[..., 0] - y[..., 0])) / (
+            shift + _dist(x, y))
+
+    return k
+
+
 def helmholtz_kernel(wavenumber: float, regularization: float = 1e-8):
     """3-D Helmholtz single layer exp(i k r) / (4 pi r) (complex)."""
 

@@ -101,7 +101,13 @@ class CustomApproximationBuilder:
             ops = (local_operator if isinstance(local_operator, (list, tuple))
                    else [local_operator])
             for op in ops:
-                self.distributed_operator.add_local_to_local_operator(op)
+                # the reference accepts either operator kind here
+                # (distributed_operator/utility.hpp:35): dispatch on the
+                # interface the object implements
+                if hasattr(op, "local_add_vector_product"):
+                    self.distributed_operator.add_local_to_local_operator(op)
+                else:
+                    self.distributed_operator.add_global_to_local_operator(op)
 
 
 def _build_sub_block(hmatrix_builder: HMatrixTreeBuilder, generator,
@@ -135,7 +141,13 @@ def _extract_block_diagonal(hmatrix, target_cluster, source_cluster, p):
     from ..hmatrix.plan import BlockPlan, _bucketize
 
     t_node = target_cluster.get_cluster_on_partition(p)
-    s_node = source_cluster.get_cluster_on_partition(p)
+    if source_cluster.nb_partitions() > p:
+        s_node = source_cluster.get_cluster_on_partition(p)
+    else:
+        # unpartitioned source cluster (reference workflow: source built
+        # without size_of_partition, example/use_distributed_operator.py):
+        # the "diagonal" block spans all source columns
+        s_node = source_cluster
     s_lo = s_node.get_offset() - hmatrix.plan.source_offset
     s_hi = s_lo + s_node.get_size()
     # symmetric block-row plans carry absolute t offsets; the extracted

@@ -146,6 +146,72 @@ class DistributedOperator:
         return self.matvec_global(X)
 
     # ------------------------------------------------------------------
+    # device-resident path (the solver's hot loop)
+    def device_apply_available(self) -> bool:
+        """True when every registered local operator is HMatrix- or
+        dense-array-backed, i.e. the whole global product can be traced into
+        one jitted device program.  Custom Python operators (the reference's
+        `RestrictedGlobalToLocalOperator` escape hatch) force the host path."""
+        from .local_operator import LocalDenseMatrix, LocalHMatrix
+        for p in range(self.n_partitions):
+            ops = list(self._global_to_local[p])
+            if self._local_to_local[p] is not None:
+                ops.append(self._local_to_local[p])
+            for op in ops:
+                if not isinstance(op, (LocalHMatrix, LocalDenseMatrix)):
+                    return False
+        return True
+
+    def build_device_apply(self):
+        """Returns a traceable x2d (n_src, k) -> y2d (n_tgt, k) global
+        product in user numbering.  All partition offsets are static, so the
+        closure jits into a single device program (used by the
+        device-resident Krylov loop, solvers/krylov.py)."""
+        import jax.numpy as jnp
+        if not self.device_apply_available():
+            raise ValueError("distributed operator holds custom Python local "
+                             "operators; device apply unavailable")
+        perm_s = jnp.asarray(self.source_cluster.get_permutation())
+        perm_t = jnp.asarray(self.target_cluster.get_permutation())
+        # (static_t_off, static_t_size, source renumbering, apply-closure)
+        pieces = []
+        op_dtypes = []
+        for p in range(self.n_partitions):
+            t_off, t_sz = int(self.t_offsets[p]), int(self.t_sizes[p])
+            ops = list(self._global_to_local[p])
+            if self._local_to_local[p] is not None:
+                ops.append(self._local_to_local[p])
+            for op in ops:
+                s = op.local_source_renumbering
+                s_off, s_sz = int(s.offset), int(s.size)
+                if hasattr(op, "hmatrix"):
+                    h = op.hmatrix
+                    fn = (lambda seg, _h=h: _h.matvec_internal(seg, "N"))
+                    op_dtypes.append(h.dtype)
+                else:
+                    data = jnp.asarray(op.data)
+                    fn = (lambda seg, _d=data: _d @ seg)
+                    op_dtypes.append(np.dtype(data.dtype))
+                pieces.append((t_off, t_sz, s_off, s_sz, fn))
+
+        n_t = self.shape[0]
+
+        def apply(x2d):
+            x_int = x2d[perm_s]
+            dtype = jnp.result_type(x2d.dtype, *op_dtypes) if op_dtypes \
+                else x2d.dtype
+            y_int = jnp.zeros((n_t, x2d.shape[1]), dtype=dtype)
+            for t_off, t_sz, s_off, s_sz, fn in pieces:
+                seg = x_int[s_off:s_off + s_sz]
+                y_int = y_int.at[t_off:t_off + t_sz].add(
+                    fn(seg).astype(dtype))
+            y = jnp.zeros_like(y_int)
+            y = y.at[perm_t].set(y_int)
+            return y
+
+        return apply
+
+    # ------------------------------------------------------------------
     def internal_sub_vector_product_global_to_local(self, x_window, offset,
                                                     partition: int = 0):
         """Partition's target segment of A_internal @ x where x is zero

@@ -118,6 +118,50 @@ def _stack_partition_data(hmatrices, n_pad_x, t_max):
     return {"dense": dense_stacked, "lr": lr_stacked}
 
 
+def _local_block_row_apply_trans(data, x_loc_pad, n_pad_x, sym, trans):
+    """One partition's transposed block-row product: its LOCAL target
+    segment x_loc (padded) -> a GLOBAL source-length contribution (to be
+    psum-reduced over the mesh).  trans in {'T','C'}.
+
+    Stored main block B at (t_loc, s_glob) contributes B^(trans) x[t_loc]
+    into y[s_glob]; a mirror block sigma(B) at (msc, mg) contributes
+    sigma(B)^(trans) x[msc] into y[mg]."""
+    y = jnp.zeros((n_pad_x, x_loc_pad.shape[1]), dtype=x_loc_pad.dtype)
+    iota = lambda n: jnp.arange(n, dtype=jnp.int32)
+    conj_main = trans == "C"
+    # sigma(B)^(trans): conjugate iff exactly one of {trans=='C', sym=='H'}
+    conj_mirror = (trans == "C") != (sym == "H")
+    for D, t_off, s_off, mir, mg, msc in data["dense"]:
+        pt, ps = D.shape[1], D.shape[2]
+        Dm = jnp.conj(D) if conj_main else D
+        xg = x_loc_pad[t_off[:, None] + iota(pt)[None, :]]
+        yb = jnp.einsum("nij,nik->njk", Dm, xg)
+        y = y.at[s_off[:, None] + iota(ps)[None, :]].add(yb)
+        if sym != "N":
+            m = mir.astype(y.dtype)[:, None, None]
+            Dmir = jnp.conj(D) if conj_mirror else D
+            xg = x_loc_pad[msc[:, None] + iota(ps)[None, :]]
+            yb = jnp.einsum("nij,njk->nik", Dmir, xg) * m
+            y = y.at[mg[:, None] + iota(pt)[None, :]].add(yb)
+    for U, V, t_off, s_off, mir, mg, msc in data["lr"]:
+        pt, ps = U.shape[1], V.shape[2]
+        Um = jnp.conj(U) if conj_main else U
+        Vm = jnp.conj(V) if conj_main else V
+        xg = x_loc_pad[t_off[:, None] + iota(pt)[None, :]]
+        w = jnp.einsum("nir,nik->nrk", Um, xg)
+        yb = jnp.einsum("nrj,nrk->njk", Vm, w)
+        y = y.at[s_off[:, None] + iota(ps)[None, :]].add(yb)
+        if sym != "N":
+            m = mir.astype(y.dtype)[:, None, None]
+            Umir = jnp.conj(U) if conj_mirror else U
+            Vmir = jnp.conj(V) if conj_mirror else V
+            xg = x_loc_pad[msc[:, None] + iota(ps)[None, :]]
+            w = jnp.einsum("nrj,njk->nrk", Vmir, xg)
+            yb = jnp.einsum("nir,nrk->nik", Umir, w) * m
+            y = y.at[mg[:, None] + iota(pt)[None, :]].add(yb)
+    return y
+
+
 def _local_block_row_apply(data, x_pad, t_pad_len, sym="N"):
     """One partition's block-row product: x replicated -> local y segment.
     Mirror blocks (symmetric partition-diagonal triangle) add their
@@ -187,44 +231,100 @@ class ShardedDistributedOperator:
         spec_leaf = NamedSharding(self.mesh, P("p"))
         self._data = jax.tree.map(
             lambda a: jax.device_put(a, spec_leaf), self._data)
-
-    def _get_fn(self, k):
-        if k in self._jitted:
-            return self._jitted[k]
-        mesh = self.mesh
-        t_pad_len = self.t_pad_len
-        sym = self.hmatrices[0].symmetry
-
-        @partial(jax.shard_map, mesh=mesh,
-                 in_specs=(P("p"), P(None, None)),
-                 out_specs=P("p", None))
-        def sharded_apply(data, x_pad):
-            data = jax.tree.map(lambda a: a[0], data)  # strip partition axis
-            y_local = _local_block_row_apply(data, x_pad, t_pad_len, sym)
-            return y_local[None]  # (1, t_pad_len, k) per device
-
-        self._jitted[k] = jax.jit(sharded_apply)
-        return self._jitted[k]
-
-    def matvec_global(self, x):
-        """Global-to-global product in user numbering."""
-        x = np.asarray(x)
-        squeeze = x.ndim == 1
-        x2 = x[:, None] if squeeze else x
         perm_s = self.source_cluster.get_permutation()
         perm_t = self.target_cluster.get_permutation()
-        dtype = np.result_type(x2.dtype, self.hmatrices[0].dtype)
-        x_pad = np.zeros((self.n_pad_x, x2.shape[1]), dtype=dtype)
-        x_pad[:self.shape[1]] = x2[perm_s]
-        y_parts = self._get_fn(x2.shape[1])(self._data, jnp.asarray(x_pad))
-        y_parts = np.asarray(y_parts)  # (P, t_pad_len, k)
-        y_int = np.zeros((self.shape[0], x2.shape[1]), dtype=y_parts.dtype)
-        for p in range(self.n_partitions):
-            o, s = int(self.t_offsets[p]), int(self.t_sizes[p])
-            y_int[o:o + s] = y_parts[p, :s]
-        y = np.empty_like(y_int)
-        y[perm_t] = y_int
-        return y[:, 0] if squeeze else y
+        inv_t = np.empty_like(perm_t)
+        inv_t[perm_t] = np.arange(len(perm_t))
+        inv_s = np.empty_like(perm_s)
+        inv_s[perm_s] = np.arange(len(perm_s))
+        rep = NamedSharding(self.mesh, P(None))
+        self._perm_s = jax.device_put(jnp.asarray(perm_s), rep)
+        self._perm_t = jax.device_put(jnp.asarray(perm_t), rep)
+        self._inv_perm_t = jax.device_put(jnp.asarray(inv_t), rep)
+        self._inv_perm_s = jax.device_put(jnp.asarray(inv_s), rep)
+
+    def _get_fn(self, k, trans="N"):
+        """One jitted device program for the full global-to-global product
+        in user numbering: permute -> pad -> shard_map block-row products
+        (+ psum for transposed products) -> concat -> un-permute."""
+        key = (k, trans)
+        if key in self._jitted:
+            return self._jitted[key]
+        mesh = self.mesh
+        t_pad_len = self.t_pad_len
+        n_pad_x = self.n_pad_x
+        sym = self.hmatrices[0].symmetry
+        nt, ns = self.shape
+        order = np.argsort(self.t_offsets)
+        offs = [int(self.t_offsets[p]) for p in order]
+        sizes = [int(self.t_sizes[p]) for p in order]
+        perm_s, perm_t = self._perm_s, self._perm_t
+        inv_t, inv_s = self._inv_perm_t, self._inv_perm_s
+        op_dtype = self.hmatrices[0].dtype
+
+        if trans == "N":
+            @partial(jax.shard_map, mesh=mesh,
+                     in_specs=(P("p"), P(None, None)),
+                     out_specs=P("p", None))
+            def sharded_apply(data, x_pad):
+                data = jax.tree.map(lambda a: a[0], data)
+                y_local = _local_block_row_apply(data, x_pad, t_pad_len, sym)
+                return y_local[None]  # (1, t_pad_len, k) per device
+
+            def global_apply(data, x2d):
+                dtype = jnp.result_type(x2d.dtype, op_dtype)
+                x_pad = jnp.zeros((n_pad_x, k), dtype=dtype)
+                x_pad = x_pad.at[:ns].set(x2d[perm_s].astype(dtype))
+                y_parts = sharded_apply(data, x_pad)  # (P, t_pad_len, k)
+                y_int = jnp.concatenate(
+                    [y_parts[p, :sz] for p, sz in zip(order, sizes)])
+                return y_int[inv_t]
+        else:
+            @partial(jax.shard_map, mesh=mesh,
+                     in_specs=(P("p"), P("p", None, None)),
+                     out_specs=P(None, None))
+            def sharded_apply_t(data, x_parts):
+                data = jax.tree.map(lambda a: a[0], data)
+                y = _local_block_row_apply_trans(data, x_parts[0], n_pad_x,
+                                                 sym, trans)
+                return jax.lax.psum(y, "p")
+
+            def global_apply(data, x2d):
+                dtype = jnp.result_type(x2d.dtype, op_dtype)
+                x_int = x2d[perm_t].astype(dtype)
+                segs = []
+                for p in range(self.n_partitions):
+                    o, s = int(self.t_offsets[p]), int(self.t_sizes[p])
+                    seg = jnp.zeros((t_pad_len, k), dtype=dtype)
+                    segs.append(seg.at[:s].set(x_int[o:o + s]))
+                x_parts = jnp.stack(segs)  # (P, t_pad_len, k)
+                y_pad = sharded_apply_t(data, x_parts)  # (n_pad_x, k)
+                return y_pad[:ns][inv_s]
+
+        self._jitted[key] = jax.jit(global_apply)
+        return self._jitted[key]
+
+    def build_device_apply(self, trans: str = "N"):
+        """Traceable x2d (n, k) -> y2d (n, k) closure over the sharded data
+        (for the device-resident Krylov loop)."""
+        data = self._data
+
+        def apply(x2d):
+            return self._get_fn(x2d.shape[1], trans)(data, x2d)
+
+        return apply
+
+    def matvec_global(self, x, trans: str = "N"):
+        """Global-to-global product in user numbering ('N', 'T' or 'C').
+        A jax-array input stays device-resident and a jax array is
+        returned; numpy in -> numpy out."""
+        device_io = isinstance(x, jnp.ndarray)
+        x = jnp.asarray(x)
+        squeeze = x.ndim == 1
+        x2 = x[:, None] if squeeze else x
+        y = self._get_fn(x2.shape[1], trans)(self._data, x2)
+        y = y[:, 0] if squeeze else y
+        return y if device_io else np.asarray(y)
 
     def __mul__(self, x):
         return self.matvec_global(x)
@@ -259,14 +359,21 @@ def sharded_block_solve(mesh: Mesh, lu, piv, idx_pad, weights, n: int):
         out = out.at[idx_l].add(Z)
         return jax.lax.psum(out, "p")
 
+    def device_apply(r2d):
+        """Traceable (n, k) -> (n, k) device application (for the
+        device-resident Krylov loop)."""
+        r_ext = jnp.concatenate(
+            [r2d, jnp.zeros((1, r2d.shape[1]), dtype=r2d.dtype)])
+        return apply(lu, piv, idx_pad, weights, r_ext)[:n]
+
     def precond(r):
-        r = np.asarray(r)
+        device_io = isinstance(r, jnp.ndarray)
+        r = jnp.asarray(r)
         squeeze = r.ndim == 1
         r2 = r[:, None] if squeeze else r
-        r_ext = jnp.concatenate(
-            [jnp.asarray(r2), jnp.zeros((1, r2.shape[1]), dtype=r2.dtype)])
-        out = apply(lu, piv, idx_pad, weights, r_ext)
-        out = np.asarray(out[:n])
-        return out[:, 0] if squeeze else out
+        out = device_apply(r2)
+        out = out[:, 0] if squeeze else out
+        return out if device_io else np.asarray(out)
 
+    precond.device_apply = device_apply
     return precond

@@ -69,8 +69,10 @@ class DDMSolver:
         self.distributed_operator = distributed_operator
         self.subdomains = subdomains
         self.options = dict(DEFAULTS)
-        self._facto = None  # (lu (P,mp,mp), piv (P,mp), idx_pad, weights)
-        self._coarse = None  # (Z (n, nc), E_lu)
+        self._facto = None  # (lu (P,mp,mp), piv (P,mp), idx_pad, mp)
+        self._weights = None  # {'ras': (P,mp), 'asm': (P,mp)} device arrays
+        self._coarse = None  # (Z (n, nc) numpy, scipy E_lu) — host path
+        self._coarse_dev = None  # (Z device, jax E_lu) — device path
         self._info = {}
 
     # ------------------------------------------------------------------
@@ -94,31 +96,64 @@ class DDMSolver:
         for p, s in enumerate(self.subdomains):
             idx_pad[p, :s.size] = s.ovr_to_global
         self._facto = (lu, piv, jnp.asarray(idx_pad), mp)
+        # partition-of-unity weights are a property of the decomposition:
+        # compute ONCE here, not per preconditioner application
+        W_ras = np.zeros((P, mp))
+        W_asm = np.zeros((P, mp))
+        for p, s in enumerate(self.subdomains):
+            W_ras[p, :s.size] = s.partition_of_unity()
+            W_asm[p, :s.size] = 1.0
+        self._weights = {"ras": jnp.asarray(W_ras), "asm": jnp.asarray(W_asm)}
 
     # ------------------------------------------------------------------
-    def _apply_one_level(self, r: np.ndarray, method: str) -> np.ndarray:
-        """ASM / RAS application, all subdomains in one batched solve.
-        r: (n, k) in user numbering."""
+    def _one_level_device(self, r2d, method: str):
+        """Traceable ASM / RAS application: gather -> ONE batched LU solve
+        -> weighted scatter-add.  r2d: (n, k) device array, user numbering."""
         lu, piv, idx_pad, mp = self._facto
-        P = len(self.subdomains)
         n = self.distributed_operator.shape[0]
+        W = self._weights[method]
         r_ext = jnp.concatenate(
-            [jnp.asarray(r), jnp.zeros((1, r.shape[1]), dtype=r.dtype)])
+            [r2d, jnp.zeros((1, r2d.shape[1]), dtype=r2d.dtype)])
         X = r_ext[idx_pad]  # (P, mp, k)
-        Z = jsl.lu_solve((lu, piv), X)  # batched
-        if method == "ras":
-            W = np.zeros((P, mp))
-            for p, s in enumerate(self.subdomains):
-                W[p, :s.size] = s.partition_of_unity()
-        else:  # asm: full overlapping sum
-            W = np.zeros((P, mp))
-            for p, s in enumerate(self.subdomains):
-                W[p, :s.size] = 1.0
-        Z = Z * jnp.asarray(W)[:, :, None]
-        out = jnp.zeros((n + 1, r.shape[1]),
-                        dtype=np.result_type(r.dtype, np.asarray(Z).dtype))
+        Z = jsl.lu_solve((lu, piv), X) * W[:, :, None]
+        dtype = jnp.result_type(r2d.dtype, Z.dtype)
+        out = jnp.zeros((n + 1, r2d.shape[1]), dtype=dtype)
         out = out.at[idx_pad].add(Z)
-        return np.asarray(out[:n])
+        return out[:n]
+
+    def _coarse_device(self, r2d):
+        """Traceable coarse correction Z E^{-1} Z^H r (device LU of E)."""
+        Zd, E_lu = self._coarse_dev
+        c = Zd.conj().T @ r2d
+        y = jsl.lu_solve(E_lu, c)
+        return Zd @ y
+
+    def _device_preconditioner(self):
+        """Traceable (n, k) -> (n, k) preconditioner, or None."""
+        method = self.options.get("schwarz_method", "none")
+        coarse = self.options.get("schwarz_coarse_correction", "none")
+        use_one = method in ("asm", "ras") and self._facto is not None
+        use_coarse = coarse != "none" and self._coarse_dev is not None
+
+        if not use_one and not use_coarse:
+            return None
+
+        def M(r2d):
+            parts = []
+            if use_one:
+                parts.append(self._one_level_device(r2d, method))
+            if use_coarse:
+                parts.append(self._coarse_device(r2d))
+            z = parts[0]
+            for p in parts[1:]:
+                z = z + p
+            return z.astype(r2d.dtype)
+
+        return M
+
+    def _apply_one_level(self, r: np.ndarray, method: str) -> np.ndarray:
+        """Host wrapper of the batched one-level application."""
+        return np.asarray(self._one_level_device(jnp.asarray(r), method))
 
     def _apply_coarse(self, r: np.ndarray) -> np.ndarray:
         Z, E_lu = self._coarse
@@ -162,41 +197,73 @@ class DDMSolver:
         E = operator_builder.build_coarse_operator(Z)
         import scipy.linalg as sla
         self._coarse = (Z, sla.lu_factor(E))
+        self._coarse_dev = (jnp.asarray(Z), jsl.lu_factor(jnp.asarray(E)))
 
     # ------------------------------------------------------------------
     def solve(self, x, b, hpddm_args: str = "") -> None:
         """Solve A x = b (in place into x, like the reference,
-        solver.hpp:22-61).  Multi-RHS when x/b are 2-D."""
+        solver.hpp:22-61).  Multi-RHS when x/b are 2-D.
+
+        Production path: the whole Krylov loop runs device-resident with all
+        RHS columns blocked (solvers/krylov.py gmres_device/cg_device); the
+        host-recurrence path is kept only for custom Python local operators."""
         if hpddm_args:
             self.set_hpddm_args(hpddm_args)
         opts = self.options
         A = self.distributed_operator
-        op = lambda v: A.matvec_global(v)
-        M = self._preconditioner()
         method = opts.get("krylov_method", "gmres")
         tol = float(opts.get("tol", 1e-8))
         max_it = int(opts.get("max_it", 100))
         restart = int(opts.get("gmres_restart", 40))
         verbosity = int(opts.get("verbosity", 0) or 0)
+        if opts.get("variant", "right") not in ("right", True):
+            from ..utils.logger import get_logger
+            get_logger().warning(
+                "only the right-preconditioned variant is implemented; "
+                "'-hpddm_variant %s' runs as 'right'", opts["variant"])
 
         b_arr = np.asarray(b)
         multi = b_arr.ndim == 2
-        cols = b_arr.shape[1] if multi else 1
-        nits, residuals = [], []
-        for j in range(cols):
-            bj = b_arr[:, j] if multi else b_arr
+
+        if A.device_apply_available():
+            from .krylov import cg_device, gmres_device
+            A_fn = A.build_device_apply()
+            M_fn = self._device_preconditioner()
+            sub_dtypes = ([np.dtype(self._facto[0].dtype)]
+                          if self._facto is not None else [])
+            dtype = np.result_type(A._result_dtype(b_arr.reshape(len(b_arr),
+                                                                 -1)),
+                                   *sub_dtypes)
             if method == "cg":
-                xj, info = cg(op, bj, M=M, tol=tol, max_it=max_it,
-                              verbosity=verbosity)
+                xs, info = cg_device(A_fn, b_arr, M_fn=M_fn, tol=tol,
+                                     max_it=max_it, verbosity=verbosity,
+                                     dtype=dtype)
             else:
-                xj, info = gmres(op, bj, M=M, tol=tol, max_it=max_it,
-                                 restart=restart, verbosity=verbosity)
-            nits.append(info["niter"])
-            residuals.append(info["residual"])
-            if multi:
-                x[:, j] = xj
-            else:
-                x[:] = xj
+                xs, info = gmres_device(A_fn, b_arr, M_fn=M_fn, tol=tol,
+                                        max_it=max_it, restart=restart,
+                                        verbosity=verbosity, dtype=dtype)
+            x[...] = np.asarray(xs).astype(x.dtype, copy=False)
+            nits = [int(np.max(info["niter"]))]
+            residuals = [float(np.max(info["residual"]))]
+        else:
+            op = lambda v: A.matvec_global(v)
+            M = self._preconditioner()
+            cols = b_arr.shape[1] if multi else 1
+            nits, residuals = [], []
+            for j in range(cols):
+                bj = b_arr[:, j] if multi else b_arr
+                if method == "cg":
+                    xj, info = cg(op, bj, M=M, tol=tol, max_it=max_it,
+                                  verbosity=verbosity)
+                else:
+                    xj, info = gmres(op, bj, M=M, tol=tol, max_it=max_it,
+                                     restart=restart, verbosity=verbosity)
+                nits.append(info["niter"])
+                residuals.append(info["residual"])
+                if multi:
+                    x[:, j] = xj
+                else:
+                    x[:] = xj
         self._info = {
             "Nb_it": str(max(nits) if nits else 0),
             "Nb_subdomains": str(len(self.subdomains)),
@@ -207,6 +274,14 @@ class DDMSolver:
             "Nb_coarse_vectors": str(self._coarse[0].shape[1]
                                      if self._coarse else 0),
         }
+        if opts.get("compute_residual"):
+            # reference semantics (-hpddm_compute_residual l2,
+            # example/use_ddm_solver.py:64-67): report the true ||Ax-b||
+            r = b_arr - np.asarray(A.matvec_global(np.asarray(x)))
+            res_l2 = float(np.linalg.norm(r))
+            self._info["Residual_l2"] = str(res_l2)
+            if verbosity:
+                print(f"computed residual (l2) = {res_l2:.6e}")
 
     def get_information(self) -> dict:
         return dict(self._info)

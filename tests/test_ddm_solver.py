@@ -92,7 +92,7 @@ def _build_solver(ddm_builder, default_approximation, generator, epsilon,
 @pytest.mark.parametrize("epsilon", [1e-6])
 @pytest.mark.parametrize("eta", [10])
 @pytest.mark.parametrize("tol", [1e-6])
-@pytest.mark.parametrize("n_partitions", [1, 2, 4])
+@pytest.mark.parametrize("n_partitions", [1, 2, 3, 4])
 @pytest.mark.parametrize(
     "mu,symmetry,ddm_builder,schwarz_method,coarse_correction,geneo_type",
     [

@@ -10,7 +10,7 @@ import htool_python_tpu as H
 
 @pytest.mark.parametrize("epsilon", [1e-3, 1e-6])
 @pytest.mark.parametrize("eta", [10])
-@pytest.mark.parametrize("dimension", [3])
+@pytest.mark.parametrize("dimension", [2, 3])
 @pytest.mark.parametrize("nb_rhs", [1, 5])
 @pytest.mark.parametrize("n_partitions", [1, 3])
 @pytest.mark.parametrize(
@@ -22,12 +22,16 @@ import htool_python_tpu as H
         (400, 400, "N", "N", True, False, False, "None", "None", 2),
         (400, 200, "N", "N", True, False, False, "None", "None", 2),
         (400, 400, "S", "L", False, True, True, "None", "None", 2),
+        (400, 400, "S", "U", False, True, True, "None", "None", 2),
         (400, 400, "N", "N", False, True, True, "None", "None", 2),
         (400, 200, "N", "N", False, True, True, "None", "None", 2),
         (400, 400, "S", "L", False, False, False, "ExtraDiagonal", "None", 2),
+        (400, 400, "S", "U", False, False, False, "ExtraDiagonal", "None", 2),
         (400, 400, "N", "N", False, False, False, "ExtraDiagonal", "None", 2),
         (400, 200, "N", "N", False, False, False, "ExtraDiagonal", "None", 2),
         (400, 400, "S", "L", False, False, False, "LocalAndExtraDiagonal",
+         "None", 2),
+        (400, 400, "S", "U", False, False, False, "LocalAndExtraDiagonal",
          "None", 2),
         (400, 400, "N", "N", False, False, False, "LocalAndExtraDiagonal",
          "None", 2),
