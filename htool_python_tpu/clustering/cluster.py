@@ -224,10 +224,27 @@ class ClusterTreeBuilder:
 
     def _build(self, coords, radii, weights, nb_children, top_parts):
         """Core recursive build.  `top_parts` = None (no partition) or the list
-        of P user-index arrays forming the partition level."""
+        of P user-index arrays forming the partition level.
+
+        Production path: the native C++ builder (native/cluster_builder.cpp,
+        same algorithm) when the strategy is one of the four built-in
+        policies; this numpy implementation is the behavior-defining
+        fallback (and the only path for user VirtualPartitioning
+        subclasses, whose splits are Python callbacks)."""
         if top_parts is not None and len(top_parts) == 1:
             # single-partition: the partition node is the root itself
             top_parts = None
+
+        native_kinds = _native_strategy_kinds(self._strategy)
+        if native_kinds is not None:
+            try:
+                from .. import native as _native
+                if _native.available():
+                    return self._build_native(coords, radii, weights,
+                                              nb_children, top_parts,
+                                              native_kinds)
+            except Exception:  # pragma: no cover - fall back to numpy
+                pass
         offsets, sizes, depths, parents = [], [], [], []
         children_start, children_count = [], []
         centers, radius_arr = [], []
@@ -301,3 +318,35 @@ class ClusterTreeBuilder:
             maximal_leaf_size=mls,
         )
         return Cluster(tree, 0)
+
+    def _build_native(self, coords, radii, weights, nb_children, top_parts,
+                      kinds):
+        from .. import native as _native
+
+        direction_kind, split_kind = kinds
+        (offsets, sizes, depths, parents, cstart, ccount, centers, radius_arr,
+         partition, permutation) = _native.build_cluster_tree_native(
+            coords, radii, weights, nb_children, self._maximal_leaf_size,
+            self._minimal_depth, direction_kind, split_kind, top_parts)
+        tree = ClusterTree(
+            points=coords, offsets=offsets, sizes=sizes, depths=depths,
+            parents=parents, children_start=cstart, children_count=ccount,
+            centers=centers, radii=radius_arr, partition=partition,
+            permutation=permutation,
+            maximal_leaf_size=self._maximal_leaf_size,
+        )
+        return Cluster(tree, 0)
+
+
+def _native_strategy_kinds(strategy):
+    """(direction_kind, split_kind) for the four built-in policies, or None
+    for user VirtualPartitioning subclasses (Python callbacks)."""
+    from .partitioning import (
+        BoundingBoxGeometric,
+        BoundingBoxRegular,
+        PCAGeometric,
+        PCARegular,
+    )
+    table = {PCARegular: (0, 0), PCAGeometric: (0, 1),
+             BoundingBoxRegular: (1, 0), BoundingBoxGeometric: (1, 1)}
+    return table.get(type(strategy))

@@ -61,8 +61,11 @@ class Config:
     # dense fills) are chunked over the block axis so that one chunk's
     # dominant operand stays under ~this many elements.  Chunk sizes are
     # powers of two, so XLA compiles are keyed by (chunk, pt, ps) and
-    # bounded in number regardless of problem size.
-    assembly_chunk_elems: int = 1 << 25
+    # bounded in number regardless of problem size.  2^28 elems = 1 GB of
+    # f32 dominant operand — each call site divides by its own per-block
+    # workspace multiplier, and chunk count directly multiplies the
+    # per-chunk dispatch+sync latency (expensive over a remote TPU link).
+    assembly_chunk_elems: int = 1 << 28
     # force ('pallas' | 'xla' | None=auto) the matvec kernel backend
     matvec_backend: str | None = None
 

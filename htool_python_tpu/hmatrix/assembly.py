@@ -185,13 +185,16 @@ def assemble(plan: BlockPlan, generator, epsilon: float, reqrank: int = -1,
             U = U[sel]
             V = V[sel]
             ranks = ranks[sel]
-        # trim rank padding to bucket max (device-side slice: no host copy)
-        rmaxb = max(int(ranks.max()), 1)
-        U = U[:, :, :rmaxb].astype(dtype)
-        V = V[:, :rmaxb, :].astype(dtype)
-        kept_lr_buckets.append(b)
-        lr_arrays.append((U, V))
-        lr_ranks.append(ranks.astype(np.int32))
+        # sub-bucket by rank class (pow2 ceiling): the matvec streams the
+        # PADDED factor arrays, so packing blocks of rank ~20 in a
+        # rank-128 bucket would waste ~6x HBM bandwidth on zero columns
+        for rclass, sel in _rank_classes(ranks):
+            bb = b if len(sel) == b.nb else _subset_bucket(b, sel)
+            Us = U[sel][:, :, :rclass].astype(dtype)
+            Vs = V[sel][:, :rclass, :].astype(dtype)
+            kept_lr_buckets.append(bb)
+            lr_arrays.append((Us, Vs))
+            lr_ranks.append(ranks[sel].astype(np.int32))
 
     # --- dense buckets (original + densified) ---
     dense_tuples = []
@@ -256,6 +259,23 @@ def assemble(plan: BlockPlan, generator, epsilon: float, reqrank: int = -1,
     new_plan = dataclasses.replace(plan, dense_buckets=dense_buckets,
                                    lowrank_buckets=kept_lr_buckets)
     return new_plan, dense_arrays, lr_arrays, lr_ranks
+
+
+def _rank_classes(ranks):
+    """Partition block indices by pow2-ceiling rank class (min 8): yields
+    (rank_class, index array), ascending."""
+    ranks = np.asarray(ranks)
+    classes = np.maximum(8, np.vectorize(_pow2_ceil_int)(
+        np.maximum(ranks, 1)))
+    for rc in np.unique(classes):
+        yield int(rc), np.flatnonzero(classes == rc)
+
+
+def _pow2_ceil_int(n):
+    p = 1
+    while p < n:
+        p *= 2
+    return p
 
 
 def _subset_bucket(b, sel):
@@ -343,7 +363,9 @@ def _device_lr_bucket(gen, b, rows_idx, cols_idx, epsilon, reqrank, dtype, cfg):
     dtype = np.dtype(dtype)
     chunks = []
     if b.pt * b.ps <= _DENSE_SVD_MAX:
-        cap = _chunk_cap(b.pt * b.ps * 8)
+        # batched SVD/eigh expands its operand ~an order of magnitude in
+        # workspace (the round-1 OOM shape) — budget with a large fudge
+        cap = _chunk_cap(b.pt * b.ps * 32)
         for i0, i1, size in _chunk_slices(b.nb, cap):
             ri, ci, tz, sz = _pad_chunk(rows_idx, cols_idx, b.t_sz, b.s_sz,
                                         i0, i1, size)

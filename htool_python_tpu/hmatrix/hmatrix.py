@@ -179,11 +179,11 @@ class HMatrix:
                     m = blk.conj().T if self.symmetry == "H" else blk.T
                     out[b.s_off[i] - tb:b.s_off[i] - tb + b.s_sz[i],
                         b.t_off[i]:b.t_off[i] + b.t_sz[i]] = m
-        for (U, V, t_off, s_off, mirror), b in zip(self._data["lr"],
-                                                   self.plan.lowrank_buckets):
-            Uh, Vh = np.asarray(U), np.asarray(V)
+        for (Ut, V, t_off, s_off, mirror), b in zip(self._data["lr"],
+                                                    self.plan.lowrank_buckets):
+            Uh, Vh = np.asarray(Ut), np.asarray(V)
             for i in range(b.nb):
-                blk = Uh[i, :b.t_sz[i], :] @ Vh[i, :, :b.s_sz[i]]
+                blk = Uh[i, :, :b.t_sz[i]].T @ Vh[i, :, :b.s_sz[i]]
                 out[b.t_off[i] - tb:b.t_off[i] - tb + b.t_sz[i],
                     b.s_off[i]:b.s_off[i] + b.s_sz[i]] = blk
                 if b.mirror[i]:
@@ -304,12 +304,16 @@ class HMatrix:
             len(self.plan.target_root.tree.partition))
         return info
 
-    # low-rank leaf access (for plotting / recompression)
+    # low-rank leaf access (for plotting / recompression); returns the
+    # user-facing (U (nb, pt, r), V (nb, r, ps)) layout (storage is
+    # rank-major Ut, see ops/matvec.py pack_bucket_data)
     def lowrank_leaves(self):
         out = []
-        for (U, V, *_), b, r in zip(self._data["lr"],
-                                    self.plan.lowrank_buckets, self._lr_ranks):
-            out.append((np.asarray(U), np.asarray(V), b, r))
+        for (Ut, V, *_), b, r in zip(self._data["lr"],
+                                     self.plan.lowrank_buckets,
+                                     self._lr_ranks):
+            out.append((np.asarray(Ut).transpose(0, 2, 1), np.asarray(V),
+                        b, r))
         return out
 
     def _set_lr_arrays(self, lr_arrays, lr_ranks):

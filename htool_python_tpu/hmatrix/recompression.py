@@ -23,10 +23,12 @@ def recompression(hmatrix, epsilon: float | None = None) -> None:
         return
     eps = float(epsilon) if epsilon is not None else hmatrix.epsilon
     lr_arrays, lr_ranks = [], []
-    for (U, V, *_), b, ranks in zip(hmatrix._data["lr"],
-                                    hmatrix.plan.lowrank_buckets,
-                                    hmatrix._lr_ranks):
-        U2, V2, r2 = batched_truncate(jnp.asarray(U), jnp.asarray(V),
+    for (Ut, V, *_), b, ranks in zip(hmatrix._data["lr"],
+                                     hmatrix.plan.lowrank_buckets,
+                                     hmatrix._lr_ranks):
+        # storage is rank-major Ut (nb, r, pt); truncate in (nb, pt, r)
+        U2, V2, r2 = batched_truncate(jnp.swapaxes(jnp.asarray(Ut), 1, 2),
+                                      jnp.asarray(V),
                                       jnp.asarray(ranks), eps)
         r2 = np.asarray(r2)
         rmax = max(int(r2.max()) if len(r2) else 1, 1)

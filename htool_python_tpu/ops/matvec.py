@@ -92,41 +92,45 @@ def apply_hmatrix_padded(data, x_pad, ny_pad: int, trans: str, sym: str):
             Dm = D if sym == "H" else jnp.conj(D)
             y = _scatter_add(y, t_off, dense_term(Dm, xg) * m)
 
-    for U, V, t_off, s_off, mirror in data["lr"]:
-        pt, r, ps = U.shape[1], U.shape[2], V.shape[2]
+    # low-rank factors are stored rank-major: Ut (nb, r, pt), V (nb, r, ps).
+    # TPU physical layout pads the minor-most dim to 128 lanes, so keeping
+    # the (small) rank axis second-minor means rank-bucketed factors only
+    # pad r to a multiple of 8 — the matvec streams ~what it stores.
+    for Ut, V, t_off, s_off, mirror in data["lr"]:
+        r, pt, ps = Ut.shape[1], Ut.shape[2], V.shape[2]
         m = mirror.astype(dtype)[:, None, None]
         if trans == "N":
             xg = _gather(x_pad, s_off, ps)
             w = jnp.einsum("nrj,njk->nrk", V, xg, preferred_element_type=dtype, precision=_HI)
             y = _scatter_add(y, t_off,
-                             jnp.einsum("nir,nrk->nik", U, w,
+                             jnp.einsum("nri,nrk->nik", Ut, w,
                                         preferred_element_type=dtype, precision=_HI))
             # mirror: sigma(UV) = sigma(V) sigma(U) at (s,t)
             xg = _gather(x_pad, t_off, pt)
-            Uc = jnp.conj(U) if sym == "H" else U
+            Uc = jnp.conj(Ut) if sym == "H" else Ut
             Vc = jnp.conj(V) if sym == "H" else V
-            w = jnp.einsum("nir,nik->nrk", Uc, xg, preferred_element_type=dtype, precision=_HI)
+            w = jnp.einsum("nri,nik->nrk", Uc, xg, preferred_element_type=dtype, precision=_HI)
             y = _scatter_add(y, s_off,
                              jnp.einsum("nrj,nrk->njk", Vc, w,
                                         preferred_element_type=dtype, precision=_HI) * m)
         else:
             conj_main = trans == "C"
-            Uc = jnp.conj(U) if conj_main else U
+            Uc = jnp.conj(Ut) if conj_main else Ut
             Vc = jnp.conj(V) if conj_main else V
             xg = _gather(x_pad, t_off, pt)
-            w = jnp.einsum("nir,nik->nrk", Uc, xg, preferred_element_type=dtype, precision=_HI)
+            w = jnp.einsum("nri,nik->nrk", Uc, xg, preferred_element_type=dtype, precision=_HI)
             y = _scatter_add(y, s_off,
                              jnp.einsum("nrj,nrk->njk", Vc, w,
                                         preferred_element_type=dtype, precision=_HI))
             # mirror^(trans): for 'S': (UV)^T mirror -> UV at (t,s) under T;
             # composition handled by conj flags:
             conj_mirror = (sym == "H") != (trans == "C")
-            Um = jnp.conj(U) if conj_mirror else U
+            Um = jnp.conj(Ut) if conj_mirror else Ut
             Vm = jnp.conj(V) if conj_mirror else V
             xg = _gather(x_pad, s_off, ps)
             w = jnp.einsum("nrj,njk->nrk", Vm, xg, preferred_element_type=dtype, precision=_HI)
             y = _scatter_add(y, t_off,
-                             jnp.einsum("nir,nrk->nik", Um, w,
+                             jnp.einsum("nri,nrk->nik", Um, w,
                                         preferred_element_type=dtype, precision=_HI) * m)
 
     return y
@@ -186,15 +190,21 @@ def apply_hmatrix_user(data, perm_in, inv_perm_out, x2d, pad_len: int,
 
 def pack_bucket_data(dense_buckets, dense_arrays, lr_buckets, lr_arrays):
     """Build the pytree consumed by apply_hmatrix_padded from plan buckets
-    (host numpy offsets) and device data arrays."""
+    (host numpy offsets) and device data arrays.
+
+    Accepts low-rank factors as (U (nb, pt, r), V (nb, r, ps)) — the
+    assembly-natural layout — and stores Ut (nb, r, pt): on TPU the
+    minor-most axis is padded to 128 lanes, so the rank axis must be
+    second-minor for rank-bucketed storage to actually save HBM."""
     dense = []
     for b, D in zip(dense_buckets, dense_arrays):
         dense.append((D, jnp.asarray(b.t_off), jnp.asarray(b.s_off),
                       jnp.asarray(b.mirror)))
     lr = []
     for b, (U, V) in zip(lr_buckets, lr_arrays):
-        lr.append((U, V, jnp.asarray(b.t_off), jnp.asarray(b.s_off),
-                   jnp.asarray(b.mirror)))
+        Ut = jnp.swapaxes(jnp.asarray(U), 1, 2)
+        lr.append((Ut, jnp.asarray(V), jnp.asarray(b.t_off),
+                   jnp.asarray(b.s_off), jnp.asarray(b.mirror)))
     return {"dense": dense, "lr": lr}
 
 

@@ -104,14 +104,16 @@ def _dense_bucket_kernel(swapped: bool, sym: bool, pt: int, ps: int,
 
 def _lr_bucket_kernel(swapped: bool, sym: bool, pt: int, r: int, ps: int,
                       t_off, s_off, mir, U_ref, V_ref, x_ref, y_ref):
-    """One grid step = one low-rank block: two-stage MXU contraction."""
+    """One grid step = one low-rank block: two-stage MXU contraction.
+    Factors are rank-major: Ut (r, pt), V (r, ps) — the rank axis is
+    second-minor so small rank classes don't pad to 128 lanes."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
-    U = U_ref[0]  # (pt, r)
+    U = U_ref[0]  # (r, pt)
     V = V_ref[0]  # (r, ps)
     dtype = y_ref.dtype
     to, so = t_off[i], s_off[i]
@@ -119,12 +121,12 @@ def _lr_bucket_kernel(swapped: bool, sym: bool, pt: int, r: int, ps: int,
     def main_term():
         xs = _load_seg(x_ref, so, ps)
         w = _dot(xs, V, (((1,), (1,))), dtype)  # (k, r)
-        acc = _dot(w, U, (((1,), (1,))), dtype)  # (k, pt)
+        acc = _dot(w, U, (((1,), (0,))), dtype)  # (k, pt)
         _accum_seg(y_ref, to, pt, acc)
 
     def mirror_term():
         xt = _load_seg(x_ref, to, pt)
-        w = _dot(xt, U, (((1,), (0,))), dtype)  # (k, r)
+        w = _dot(xt, U, (((1,), (1,))), dtype)  # (k, r)
         acc = _dot(w, V, (((1,), (0,))), dtype)  # (k, ps)
         _accum_seg(y_ref, so, ps, acc)
 
@@ -204,7 +206,7 @@ def apply_hmatrix_pallas(data, x_pad, ny_pad: int, trans: str, sym: str,
                                s_off.astype(jnp.int32),
                                mirror.astype(jnp.int32), interpret)
     for U, V, t_off, s_off, mirror in data["lr"]:
-        pt, r, ps = U.shape[1], U.shape[2], V.shape[2]
+        r, pt, ps = U.shape[1], U.shape[2], V.shape[2]
         kern = partial(_lr_bucket_kernel, swapped, symmetric, pt, r, ps)
         yT = yT + _bucket_call(kern, (U, V), xT,
                                t_off.astype(jnp.int32),

@@ -169,9 +169,9 @@ def _extract_block_diagonal(hmatrix, target_cluster, source_cluster, p):
                                  clo - s_lo, chi - clo, bool(b.mirror[i])))
             dense_mats.append(blk)
     lr_tuples, lr_mats = [], []
-    for (U, V, *_), b, ranks in zip(hmatrix._data["lr"],
-                                    hmatrix.plan.lowrank_buckets,
-                                    hmatrix._lr_ranks):
+    for (Ut, V, *_), b, ranks in zip(hmatrix._data["lr"],
+                                     hmatrix.plan.lowrank_buckets,
+                                     hmatrix._lr_ranks):
         Uh = Vh = None
         for i in range(b.nb):
             lo, hi = int(b.s_off[i]), int(b.s_off[i]) + int(b.s_sz[i])
@@ -179,11 +179,12 @@ def _extract_block_diagonal(hmatrix, target_cluster, source_cluster, p):
             if chi <= clo:
                 continue
             if Uh is None:
-                Uh, Vh = np.asarray(U), np.asarray(V)
+                # stored rank-major Ut (nb, r, pt) -> slice back to (pt, r)
+                Uh, Vh = np.asarray(Ut), np.asarray(V)
             r = int(ranks[i])
             lr_tuples.append((int(b.t_off[i]) - tb, int(b.t_sz[i]),
                               clo - s_lo, chi - clo, bool(b.mirror[i]), r))
-            lr_mats.append((Uh[i, :b.t_sz[i], :r],
+            lr_mats.append((Uh[i, :r, :b.t_sz[i]].T,
                             Vh[i, :r, clo - lo:chi - lo]))
 
     dense_buckets = _bucketize([t[:5] for t in dense_tuples])

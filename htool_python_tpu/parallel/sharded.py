@@ -53,8 +53,9 @@ def _stack_partition_data(hmatrices, n_pad_x, t_max):
     for p, h in enumerate(hmatrices):
         for (D, *_), b in zip(h._data["dense"], h.plan.dense_buckets):
             shapes_dense.setdefault((b.pt, b.ps), [0] * Pn)[p] = b.nb
-        for (U, V, *_), b in zip(h._data["lr"], h.plan.lowrank_buckets):
-            shapes_lr.setdefault((b.pt, U.shape[2], b.ps), [0] * Pn)[p] = b.nb
+        for (Ut, V, *_), b in zip(h._data["lr"], h.plan.lowrank_buckets):
+            # storage is rank-major: Ut (nb, r, pt)
+            shapes_lr.setdefault((b.pt, Ut.shape[1], b.ps), [0] * Pn)[p] = b.nb
 
     def _offsets(h, b):
         """(local t_off, global s_off, mirror, mirror-gather, mirror-scatter)
@@ -94,7 +95,7 @@ def _stack_partition_data(hmatrices, n_pad_x, t_max):
     lr_stacked = []
     for (pt, r, ps), counts in sorted(shapes_lr.items()):
         nb = max(counts)
-        U = np.zeros((Pn, nb, pt, r), dtype=dtype)
+        U = np.zeros((Pn, nb, r, pt), dtype=dtype)  # rank-major Ut
         V = np.zeros((Pn, nb, r, ps), dtype=dtype)
         t_off = np.full((Pn, nb), t_max, dtype=np.int32)
         s_off = np.full((Pn, nb), n_pad_x - ps, dtype=np.int32)
@@ -103,7 +104,7 @@ def _stack_partition_data(hmatrices, n_pad_x, t_max):
         msc = np.full((Pn, nb), t_max, dtype=np.int32)
         for p, h in enumerate(hmatrices):
             for (Uh, Vh, *_), b in zip(h._data["lr"], h.plan.lowrank_buckets):
-                if (b.pt, Uh.shape[2], b.ps) != (pt, r, ps):
+                if (b.pt, Uh.shape[1], b.ps) != (pt, r, ps):
                     continue
                 U[p, :b.nb] = np.asarray(Uh)
                 V[p, :b.nb] = np.asarray(Vh)
@@ -143,21 +144,21 @@ def _local_block_row_apply_trans(data, x_loc_pad, n_pad_x, sym, trans):
             xg = x_loc_pad[msc[:, None] + iota(ps)[None, :]]
             yb = jnp.einsum("nij,njk->nik", Dmir, xg) * m
             y = y.at[mg[:, None] + iota(pt)[None, :]].add(yb)
-    for U, V, t_off, s_off, mir, mg, msc in data["lr"]:
-        pt, ps = U.shape[1], V.shape[2]
-        Um = jnp.conj(U) if conj_main else U
+    for Ut, V, t_off, s_off, mir, mg, msc in data["lr"]:
+        pt, ps = Ut.shape[2], V.shape[2]
+        Um = jnp.conj(Ut) if conj_main else Ut
         Vm = jnp.conj(V) if conj_main else V
         xg = x_loc_pad[t_off[:, None] + iota(pt)[None, :]]
-        w = jnp.einsum("nir,nik->nrk", Um, xg)
+        w = jnp.einsum("nri,nik->nrk", Um, xg)
         yb = jnp.einsum("nrj,nrk->njk", Vm, w)
         y = y.at[s_off[:, None] + iota(ps)[None, :]].add(yb)
         if sym != "N":
             m = mir.astype(y.dtype)[:, None, None]
-            Umir = jnp.conj(U) if conj_mirror else U
+            Umir = jnp.conj(Ut) if conj_mirror else Ut
             Vmir = jnp.conj(V) if conj_mirror else V
             xg = x_loc_pad[msc[:, None] + iota(ps)[None, :]]
             w = jnp.einsum("nrj,njk->nrk", Vmir, xg)
-            yb = jnp.einsum("nir,nrk->nik", Umir, w) * m
+            yb = jnp.einsum("nri,nrk->nik", Umir, w) * m
             y = y.at[mg[:, None] + iota(pt)[None, :]].add(yb)
     return y
 
