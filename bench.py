@@ -41,6 +41,14 @@ def main():
     from htool_python_tpu.models.kernels import inverse_distance_kernel
     from htool_python_tpu.ops.matvec import apply_hmatrix_user, resolve_backend
 
+    # Absorb the tunnel/session setup stall BEFORE any timed region: the
+    # remote TPU service pays a large one-time cost (measured 20-120 s,
+    # independent of the program run) on a process's first compute+readback.
+    # This is session setup, not assembly work; reported in detail.
+    t0 = time.perf_counter()
+    float(jnp.sum(jnp.zeros(8)))
+    t_session_setup = time.perf_counter() - t0
+
     N = int(os.environ.get("BENCH_N", 40000))
     eps = 1e-3
     np.random.seed(0)
@@ -112,6 +120,23 @@ def main():
     y_exact = (1.0 / (1e-1 + d)) @ x_np
     rel = np.linalg.norm(y[rows] - y_exact) / np.linalg.norm(y_exact)
 
+    # ---- BASELINE stage configs 2-5 (round-2 verdict item 4) ----
+    stages = {}
+    if os.environ.get("BENCH_STAGES", "1") != "0":
+        try:
+            stages["distributed_2part"] = _stage_distributed(jax, jnp, np)
+        except Exception as e:  # pragma: no cover
+            stages["distributed_2part"] = {"error": repr(e)}
+        try:
+            stages["helmholtz_complex_1e6"] = _stage_helmholtz(jax, jnp, np)
+        except Exception as e:  # pragma: no cover
+            stages["helmholtz_complex_1e6"] = {"error": repr(e)}
+        try:
+            stages["ddm_gmres"] = _stage_ddm(jax, jnp, np)
+        except Exception as e:  # pragma: no cover
+            stages["ddm_gmres"] = {"error": repr(e)}
+        stages["multihost_scaling_proxy"] = _stage_multihost()
+
     nnz_per_s = compressed / t_matvec
     eff_gbs = stored_bytes / t_matvec / 1e9
     result = {
@@ -124,6 +149,7 @@ def main():
             "epsilon": eps,
             "platform": jax.devices()[0].platform,
             "backend": backend,
+            "session_setup_s": round(t_session_setup, 3),
             "cluster_time_s": round(t_cluster, 3),
             "assembly_time_s": round(t_assembly, 3),
             "matvec_time_ms": round(t_matvec * 1e3, 4),
@@ -135,9 +161,191 @@ def main():
             "stored_bytes_padded": int(stored_bytes),
             "compression_ratio": round(N * N / max(compressed, 1), 2),
             "rel_error_sampled": float(rel),
+            "stage_configs": stages,
         },
     }
     print(json.dumps(result))
+
+
+def _bench_points(np, n):
+    from htool_python_tpu.models.geometry import create_random_points_in_sphere
+    np.random.seed(1)
+    return create_random_points_in_sphere(n)
+
+
+def _sampled_rel_error(np, points, kernel_np, hmatrix, x, n_rows=200):
+    n = points.shape[1]
+    rows = np.random.choice(n, n_rows, replace=False)
+    y = hmatrix * x
+    d = np.linalg.norm(points[:, rows][:, :, None] - points[:, None, :],
+                       axis=0)
+    y_exact = kernel_np(d) @ x
+    return float(np.linalg.norm(y[rows] - y_exact)
+                 / np.linalg.norm(y_exact))
+
+
+def _stage_distributed(jax, jnp, np):
+    """BASELINE stage config: 2-partition distributed matvec.  One physical
+    chip — both partitions' block rows execute through the partitioned
+    DistributedOperator device apply (the multi-chip placement of the same
+    program is validated by dryrun_multichip / the multihost dryrun)."""
+    from htool_python_tpu.clustering.cluster import ClusterTreeBuilder
+    from htool_python_tpu.hmatrix.generator import KernelGenerator
+    from htool_python_tpu.hmatrix.hmatrix import HMatrixTreeBuilder
+    from htool_python_tpu.models.kernels import inverse_distance_kernel
+    from htool_python_tpu.parallel.builders import DefaultApproximationBuilder
+
+    N = int(os.environ.get("BENCH_N2", 40000))
+    points = _bench_points(np, N)
+    cb = ClusterTreeBuilder()
+    cb.set_maximal_leaf_size(128)
+    cluster = cb.create_cluster_tree(points, 2, size_of_partition=2)
+    gen = KernelGenerator(inverse_distance_kernel(1e-1), points, points)
+    hb = HMatrixTreeBuilder(1e-3, 10.0, "N", "N")
+    hb.set_dtype(np.float32)
+    t0 = time.perf_counter()
+    approx = DefaultApproximationBuilder(gen, cluster, cluster, hb, None)
+    jax.block_until_ready([h._data for h in approx.hmatrix])
+    t_build = time.perf_counter() - t0
+
+    fn = approx.distributed_operator.build_device_apply()
+    x = jnp.asarray(np.random.rand(N, 1).astype(np.float32))
+
+    def chain(reps):
+        @jax.jit
+        def run(x):
+            def body(i, x):
+                y = fn(x)
+                return y * (1.0 / jnp.linalg.norm(y))
+            return jax.lax.fori_loop(0, reps, body, x)
+        return run
+
+    run5, run55 = chain(5), chain(55)
+    float(run5(x)[0, 0]); float(run55(x)[0, 0])
+    t0 = time.perf_counter(); float(run5(x)[0, 0])
+    t_5 = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(run55(x)[0, 0])
+    t_55 = time.perf_counter() - t0
+    t_apply = max((t_55 - t_5) / 50.0, 1e-9)
+
+    xs = np.random.rand(N).astype(np.float32)
+    y = approx.distributed_operator * xs
+    rows = np.random.choice(N, 200, replace=False)
+    d = np.linalg.norm(points[:, rows][:, :, None] - points[:, None, :],
+                       axis=0)
+    rel = float(np.linalg.norm(y[rows] - (1.0 / (1e-1 + d)) @ xs)
+                / np.linalg.norm((1.0 / (1e-1 + d)) @ xs))
+    return {"N": N, "partitions": 2, "build_s": round(t_build, 2),
+            "global_matvec_ms": round(t_apply * 1e3, 3),
+            "rel_error_sampled": rel}
+
+
+def _stage_helmholtz(jax, jnp, np):
+    """BASELINE stage config: complex Helmholtz-style kernel, eps = 1e-6,
+    with recompression.  The TPU has no native f64: this runs complex64
+    and reports the ACHIEVED accuracy honestly (the f32 signal floor at
+    this scale is ~1e-6-1e-5; x64 parity runs live on CPU, see
+    tests/test_accuracy_adversarial.py)."""
+    import htool_python_tpu as H
+    from htool_python_tpu.clustering.cluster import ClusterTreeBuilder
+    from htool_python_tpu.hmatrix.generator import KernelGenerator
+    from htool_python_tpu.hmatrix.hmatrix import HMatrixTreeBuilder
+    from htool_python_tpu.models.kernels import hermitian_phase_kernel
+
+    N = int(os.environ.get("BENCH_N3", 100000))
+    eps = 1e-6
+    points = _bench_points(np, N)
+    cb = ClusterTreeBuilder()
+    cb.set_maximal_leaf_size(128)
+    cluster = cb.create_cluster_tree(points, 2)
+    kern = hermitian_phase_kernel(wavenumber=10.0)
+    gen = KernelGenerator(kern, points, points, is_complex=True)
+    hb = HMatrixTreeBuilder(eps, 10.0, "N", "N")
+    hb.set_dtype(np.complex64)
+    t0 = time.perf_counter()
+    hm = hb.build(gen, cluster, cluster)
+    jax.block_until_ready(hm._data)
+    t_assembly = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    H.recompression(hm)
+    jax.block_until_ready(hm._data)
+    t_recomp = time.perf_counter() - t0
+
+    x = np.random.rand(N).astype(np.complex64)
+    t0 = time.perf_counter()
+    y = hm * x
+    t_mv = time.perf_counter() - t0
+    rows = np.random.choice(N, 200, replace=False)
+    tx = points[:, rows]
+    d = np.linalg.norm(tx[:, :, None] - points[:, None, :], axis=0)
+    Ks = np.exp(1j * 10.0 * (tx[0][:, None] - points[0][None, :])) / (1e-1 + d)
+    rel = float(np.linalg.norm(y[rows] - Ks @ x) / np.linalg.norm(Ks @ x))
+    dense_e, lr_e, _ = hm._storage_counts()
+    return {"N": N, "epsilon_requested": eps, "dtype": "complex64",
+            "assembly_s": round(t_assembly, 2),
+            "recompression_s": round(t_recomp, 2),
+            "matvec_e2e_ms": round(t_mv * 1e3, 2),
+            "compression_ratio": round(N * N / max(dense_e + lr_e, 1), 2),
+            "rel_error_sampled_achieved": rel}
+
+
+def _stage_ddm(jax, jnp, np):
+    """BASELINE stage config: one-level Schwarz (ASM) DDM-preconditioned
+    GMRES solve — iterations + wall time (reference contract:
+    tests/test_ddm_solver.py:646-660)."""
+    import htool_python_tpu as H
+    from htool_python_tpu.clustering.cluster import ClusterTreeBuilder
+    from htool_python_tpu.hmatrix.generator import KernelGenerator
+    from htool_python_tpu.hmatrix.hmatrix import HMatrixTreeBuilder
+    from htool_python_tpu.models.kernels import inverse_distance_kernel
+    from htool_python_tpu.parallel.builders import DefaultApproximationBuilder
+
+    N = int(os.environ.get("BENCH_N4", 20000))
+    P = 4
+    tol = 1e-6
+    points = _bench_points(np, N)
+    cb = ClusterTreeBuilder()
+    cb.set_maximal_leaf_size(128)
+    cluster = cb.create_cluster_tree(points, 2, size_of_partition=P)
+    gen = KernelGenerator(inverse_distance_kernel(1e-1), points, points)
+    hb = HMatrixTreeBuilder(1e-4, 10.0, "N", "N")
+    hb.set_dtype(np.float32)
+    t0 = time.perf_counter()
+    approx = DefaultApproximationBuilder(gen, cluster, cluster, hb, None)
+    builder = H.DDMSolverBuilder(approx.distributed_operator,
+                                 approx.block_diagonal_hmatrix)
+    solver = builder.solver
+    solver.set_hpddm_args(
+        "-hpddm_krylov_method gmres -hpddm_schwarz_method asm "
+        f"-hpddm_max_it 300 -hpddm_gmres_restart 60 -hpddm_tol {tol}")
+    solver.facto_one_level()
+    t_setup = time.perf_counter() - t0
+
+    x_ref = np.random.rand(N).astype(np.float32)
+    f = approx.distributed_operator * x_ref
+    x = np.zeros(N, dtype=np.float32)
+    t0 = time.perf_counter()
+    solver.solve(x, f)
+    t_solve = time.perf_counter() - t0
+    info = solver.get_information()
+    res = float(np.linalg.norm(approx.distributed_operator * x - f)
+                / np.linalg.norm(f))
+    return {"N": N, "partitions": P, "schwarz": "asm", "tol": tol,
+            "setup_s": round(t_setup, 2), "solve_s": round(t_solve, 2),
+            "iterations": int(info["Nb_it"]),
+            "achieved_residual": res}
+
+
+def _stage_multihost():
+    """Multi-host scaling proxy: report the 2-process dryrun results if
+    present (tools/multihost_dryrun.py writes MULTIHOST_SCALING.json on a
+    CPU mesh — mechanism validation, not DCN performance)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "MULTIHOST_SCALING.json")
+    if not os.path.exists(path):
+        return {"note": "run tools/multihost_dryrun.py to produce"}
+    with open(path) as f:
+        return json.load(f)
 
 
 if __name__ == "__main__":

@@ -53,7 +53,15 @@ def _pca_direction(points: np.ndarray, weights: np.ndarray) -> np.ndarray:
     cov = (centered * w) @ centered.T
     # dim is 2 or 3: eigh is exact and cheap
     eigvals, eigvecs = np.linalg.eigh(cov)
-    return eigvecs[:, -1]
+    v = eigvecs[:, -1]
+    # sign convention (must match native/cluster_builder.cpp largest_eigvec):
+    # flip so the largest-magnitude component is positive — eigenvectors are
+    # only defined up to sign and a flip reverses the projection sort, so a
+    # fixed convention keeps the numpy and native paths producing the same
+    # tree on the same inputs.
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    return v
 
 
 def _bbox_direction(points: np.ndarray, weights: np.ndarray) -> np.ndarray:

@@ -50,6 +50,11 @@ class Config:
     hodlr_leaf_size: int = 256
     hodlr_sample_size: int = 32
     hodlr_power_iters: int = 1
+    # cap on the adaptive sample-doubling: a level whose off-diagonal rank
+    # still saturates at this many samples raises HODLRRankSaturationError
+    # (the factorization then falls back to the dense path) instead of
+    # peeling toward k = m with dense-size probe batches
+    hodlr_max_sample_size: int = 1024
     # HODLR build tolerance = hodlr_eps_factor * hmatrix.epsilon
     hodlr_eps_factor: float = 0.1
     # iterative-refinement sweeps per HODLR solve (x += F^-1 (b - A x),
@@ -99,6 +104,29 @@ if os.environ.get("HTOOL_TPU_X64", "").lower() in ("1", "true", "yes"):
     use_x64(True)
 
 
+def _machine_fingerprint() -> str:
+    """Short hash of the host CPU's feature set.  XLA:CPU AOT executables
+    are compiled FOR the build machine's features; loading one on a host
+    with a different feature set SIGILLs/segfaults (observed: a shared
+    cache dir written by a machine with +prefer-no-scatter crashed the
+    test suite at load time).  Keying the cache dir on the fingerprint
+    confines every entry to hosts that can actually execute it."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    raw = f"{platform.machine()}|{flags}"
+    return hashlib.sha1(raw.encode()).hexdigest()[:10]
+
+
 def _enable_persistent_compilation_cache() -> None:
     """On-disk XLA compilation cache. Assembly compiles one program per
     bucket shape; over a remote TPU link each compile costs seconds, so
@@ -108,14 +136,27 @@ def _enable_persistent_compilation_cache() -> None:
     cache_dir = os.environ.get("HTOOL_TPU_CACHE_DIR")
     if cache_dir is None:
         cache_dir = os.path.join(
-            os.path.expanduser("~"), ".cache", "htool_python_tpu", "xla")
+            os.path.expanduser("~"), ".cache", "htool_python_tpu",
+            "xla-" + _machine_fingerprint())
     if cache_dir == "":  # explicit opt-out
         return
+    # Separate caches per requested platform set: a process attached to the
+    # remote TPU may compile host-side CPU programs targeting a DIFFERENT
+    # machine than a pure-CPU test process; mixing them in one directory
+    # produced executables that segfault at load time.
+    platforms = os.environ.get("JAX_PLATFORMS", "default") or "default"
+    cache_dir = os.path.join(cache_dir, platforms.replace(",", "_"))
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        # the jit-executable cache is content-addressed (one file per key,
+        # written via temp+rename) and safe under concurrent processes; the
+        # XLA-INTERNAL caches this knob would additionally enable (e.g. the
+        # CPU AOT kernel cache) are single-writer files — concurrent test +
+        # bench processes corrupted them, segfaulting later loads
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

@@ -35,6 +35,7 @@ except Exception:  # pragma: no cover
 
 from ..config import get_config
 from ..ops.aca import _chunk_cap, _chunk_slices
+from ..ops.matvec import RankMajorFactors
 from .generator import VirtualGenerator
 from .plan import BlockPlan, _bucketize
 
@@ -69,9 +70,12 @@ def _pad_chunk(rows_idx, cols_idx, t_sz, s_sz, i0, i1, size):
 
 
 @partial(jax.jit, static_argnums=(0, 1))
-def _masked_blocks_jit(gen, dtype, rows_idx, cols_idx, t_sz, s_sz):
-    """Batched dense fill of one chunk, zeroed outside the actual sizes."""
-    D = gen.device_blocks(rows_idx, cols_idx).astype(dtype)
+def _masked_blocks_jit(gen, dtype, ops, rows_idx, cols_idx, t_sz, s_sz):
+    """Batched dense fill of one chunk, zeroed outside the actual sizes.
+    `ops` carries the generator's device arrays as dynamic operands
+    (ops/aca.py generator_operands — keeps HLO literal-free)."""
+    from ..ops.aca import _gen_blocks
+    D = _gen_blocks(gen, ops, rows_idx, cols_idx).astype(dtype)
     pt, ps = rows_idx.shape[1], cols_idx.shape[1]
     mask = ((jnp.arange(pt)[None, :, None] < t_sz[:, None, None])
             & (jnp.arange(ps)[None, None, :] < s_sz[:, None, None]))
@@ -79,9 +83,9 @@ def _masked_blocks_jit(gen, dtype, rows_idx, cols_idx, t_sz, s_sz):
 
 
 @partial(jax.jit, static_argnums=(0, 1))
-def _dense_svd_lr_jit(gen, dtype, rows_idx, cols_idx, t_sz, s_sz):
+def _dense_svd_lr_jit(gen, dtype, ops, rows_idx, cols_idx, t_sz, s_sz):
     """Small-block low-rank path: dense fill + batched SVD factors."""
-    D = _masked_blocks_jit(gen, dtype, rows_idx, cols_idx, t_sz, s_sz)
+    D = _masked_blocks_jit(gen, dtype, ops, rows_idx, cols_idx, t_sz, s_sz)
     U, S, Vh = jnp.linalg.svd(D, full_matrices=False)
     return (U * S[:, None, :]).astype(dtype), Vh.astype(dtype)
 
@@ -149,16 +153,45 @@ def assemble(plan: BlockPlan, generator, epsilon: float, reqrank: int = -1,
     use_device = (_is_device_generator(generator)
                   and low_rank_generator is None and jnp is not None)
 
+    # warm-up pays off where compiles/loads serialize over a remote link;
+    # on CPU (tests) it would only add dummy work
+    if use_device and jax.default_backend() == "tpu":
+        _warm_device_programs(plan, generator, epsilon, reqrank, dtype, cfg)
+
     for b in plan.lowrank_buckets:
         rows_idx = _bucket_user_indices(perm_t, t_base, b, "t")
         cols_idx = _bucket_user_indices(perm_s, s_base, b, "s")
 
+        if use_device and low_rank_generator is None:
+            chunks, ranks, ok, order, drop = _device_lr_bucket(
+                generator, b, rows_idx, cols_idx, epsilon, reqrank, dtype, cfg)
+            # device rows may be re-ordered (and duplicated by the rmax
+            # escalation ladder) — align the bucket's host arrays with them
+            b = _subset_bucket(b, order)
+            worth = ranks * (b.t_sz + b.s_sz) <= b.t_sz * b.s_sz
+            keep = ok & worth & ~drop
+            for i in np.flatnonzero(~keep & ~drop):
+                densify_blocks.append((b.t_off[i], b.t_sz[i], b.s_off[i],
+                                       b.s_sz[i], b.mirror[i]))
+            if not keep.any():
+                continue
+            kept_idx = np.flatnonzero(keep)
+            kept_ranks = ranks[kept_idx]
+            class_list = list(_rank_classes(kept_ranks))
+            widths = tuple(rc for rc, _ in class_list)
+            sels = [jnp.asarray(kept_idx[sk].astype(np.int32))
+                    for _, sk in class_list]
+            outs = _pack_classes_jit(widths, [c[0] for c in chunks],
+                                     [c[1] for c in chunks], sels)
+            for (rclass, sk), (Ut_c, V_c) in zip(class_list, outs):
+                kept_lr_buckets.append(_subset_bucket(b, kept_idx[sk]))
+                lr_arrays.append(RankMajorFactors(Ut_c, V_c))
+                lr_ranks.append(kept_ranks[sk].astype(np.int32))
+            continue
+
         if low_rank_generator is not None:
             U, V, ranks, ok = _custom_lr_bucket(
                 low_rank_generator, b, rows_idx, cols_idx, epsilon, dtype)
-        elif use_device:
-            U, V, ranks, ok = _device_lr_bucket(
-                generator, b, rows_idx, cols_idx, epsilon, reqrank, dtype, cfg)
         else:
             U, V, ranks, ok = _host_lr_bucket(
                 generator, b, perm_t, perm_s, t_base, s_base, epsilon,
@@ -169,29 +202,24 @@ def assemble(plan: BlockPlan, generator, epsilon: float, reqrank: int = -1,
         # worthwhile check (actual sizes)
         worth = ranks * (b.t_sz + b.s_sz) <= b.t_sz * b.s_sz
         keep = ok & worth
+        for i in np.flatnonzero(~keep):
+            densify_blocks.append((b.t_off[i], b.t_sz[i], b.s_off[i],
+                                   b.s_sz[i], b.mirror[i]))
         if not keep.any():
-            for i in np.flatnonzero(~keep):
-                densify_blocks.append((b.t_off[i], b.t_sz[i], b.s_off[i],
-                                       b.s_sz[i], b.mirror[i]))
             continue
-        U = jnp.asarray(U)
-        V = jnp.asarray(V)
         if not keep.all():
-            for i in np.flatnonzero(~keep):
-                densify_blocks.append((b.t_off[i], b.t_sz[i], b.s_off[i],
-                                       b.s_sz[i], b.mirror[i]))
             sel = np.flatnonzero(keep)
             b = _subset_bucket(b, sel)
             U = U[sel]
             V = V[sel]
             ranks = ranks[sel]
-        # sub-bucket by rank class (pow2 ceiling): the matvec streams the
-        # PADDED factor arrays, so packing blocks of rank ~20 in a
-        # rank-128 bucket would waste ~6x HBM bandwidth on zero columns
+        # sub-bucket by rank class: the matvec streams the PADDED factor
+        # arrays, so packing blocks of rank ~20 in a rank-128 bucket would
+        # waste ~6x HBM bandwidth on zero columns
         for rclass, sel in _rank_classes(ranks):
             bb = b if len(sel) == b.nb else _subset_bucket(b, sel)
-            Us = U[sel][:, :, :rclass].astype(dtype)
-            Vs = V[sel][:, :rclass, :].astype(dtype)
+            Us = np.asarray(U[sel][:, :, :rclass], dtype=dtype)
+            Vs = np.asarray(V[sel][:, :rclass, :], dtype=dtype)
             kept_lr_buckets.append(bb)
             lr_arrays.append((Us, Vs))
             lr_ranks.append(ranks[sel].astype(np.int32))
@@ -226,6 +254,8 @@ def assemble(plan: BlockPlan, generator, epsilon: float, reqrank: int = -1,
                 D[i, :b.t_sz[i], :b.s_sz[i]] = m
             dense_arrays.append(jnp.asarray(D))
     elif use_device:
+        from ..ops.aca import generator_operands
+        gen_ops = generator_operands(generator)
         for b in dense_buckets:
             t0 = time.perf_counter()
             rows_idx = _bucket_user_indices(perm_t, t_base, b, "t")
@@ -236,7 +266,7 @@ def assemble(plan: BlockPlan, generator, epsilon: float, reqrank: int = -1,
                 ri, ci, tz, sz = _pad_chunk(rows_idx, cols_idx, b.t_sz,
                                             b.s_sz, i0, i1, size)
                 Dc = _masked_blocks_jit(generator, np.dtype(dtype),
-                                        ri, ci, tz, sz)
+                                        gen_ops, ri, ci, tz, sz)
                 Ds.append(Dc[:i1 - i0])
             dense_arrays.append(Ds[0] if len(Ds) == 1 else jnp.concatenate(Ds))
             if _PROFILE:
@@ -262,20 +292,18 @@ def assemble(plan: BlockPlan, generator, epsilon: float, reqrank: int = -1,
 
 
 def _rank_classes(ranks):
-    """Partition block indices by pow2-ceiling rank class (min 8): yields
-    (rank_class, index array), ascending."""
+    """Partition block indices by rank class (multiples of 8, min 8):
+    yields (rank_class, index array), ascending.
+
+    Multiples of 8 rather than powers of two (round-2 verdict): the matvec
+    streams the PADDED factors, and pow2 classes alone cost ~2x extra HBM
+    on typical rank distributions (e.g. rank 33-40 blocks stored at 64).
+    8 is the TPU sublane granule, so finer classes would not reduce what
+    the hardware actually stores/streams."""
     ranks = np.asarray(ranks)
-    classes = np.maximum(8, np.vectorize(_pow2_ceil_int)(
-        np.maximum(ranks, 1)))
+    classes = np.maximum(8, ((np.maximum(ranks, 1) + 7) // 8) * 8)
     for rc in np.unique(classes):
         yield int(rc), np.flatnonzero(classes == rc)
-
-
-def _pow2_ceil_int(n):
-    p = 1
-    while p < n:
-        p *= 2
-    return p
 
 
 def _subset_bucket(b, sel):
@@ -345,15 +373,157 @@ def _host_lr_bucket(gen, b, perm_t, perm_s, t_base, s_base, epsilon,
     return Uarr, Varr, ranks, ok
 
 
+def _warm_device_programs(plan, gen, epsilon, reqrank, dtype, cfg) -> None:
+    """Fire every jitted device program the buckets will need, from a
+    thread pool, BEFORE the real assembly runs.
+
+    Over a remote TPU link both cold XLA compiles (~0.5-10 s each) and
+    persistent-cache executable loads (~0.4 s each) serialize at first
+    use — profiled at 40-60 s of the N=16000 assembly.  The full program
+    set is predictable from the plan (chunk sizes come from the 4x ladder,
+    ops/aca.py _ladder_size), so warming them concurrently collapses that
+    wall-clock to ~the slowest single compile.  Dummy inputs use zero
+    block sizes: every lockstep loop exits immediately, so each warm call
+    costs one trivial execution."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..ops.aca import (_batched_aca_jit, _batched_truncate_jit,
+                           generator_operands, truncate_eps_array)
+
+    gen_ops = generator_operands(gen)
+    eps_arr = truncate_eps_array(0.5 * epsilon)
+    dtype = np.dtype(dtype)
+    t0 = time.perf_counter()
+
+    jobs = []  # (kind, size, pt, ps, rmax_or_None)
+    seen = set()
+
+    def add(kind, size, pt, ps, rm=None):
+        key = (kind, size, pt, ps, rm)
+        if key not in seen:
+            seen.add(key)
+            jobs.append(key)
+
+    for b in plan.lowrank_buckets:
+        if b.pt * b.ps <= _DENSE_SVD_MAX:
+            cap = _chunk_cap(b.pt * b.ps * 32)
+            for _, _, size in _chunk_slices(b.nb, cap):
+                add("svd", size, b.pt, b.ps)
+        else:
+            rmax = _bucket_rmax(b, cfg)
+            stages = _aca_stages(rmax) if reqrank <= 0 else [rmax]
+            for s_i, srm in enumerate(stages):
+                cap = _chunk_cap((b.pt + b.ps) * (srm + 16) * 2)
+                if s_i == 0:
+                    for _, _, size in _chunk_slices(b.nb, cap):
+                        add("aca", size, b.pt, b.ps, srm)
+                else:
+                    add("aca", _stage2_chunk_size(b.nb, cap), b.pt, b.ps, srm)
+    for b in plan.dense_buckets:
+        cap = _chunk_cap(b.pt * b.ps * 6)
+        for _, _, size in _chunk_slices(b.nb, cap):
+            add("dense", size, b.pt, b.ps)
+
+    def run(job):
+        kind, size, pt, ps, rm = job
+        ri = jnp.zeros((size, pt), jnp.int32)
+        ci = jnp.zeros((size, ps), jnp.int32)
+        tz = jnp.zeros((size,), jnp.int32)
+        sz = jnp.zeros((size,), jnp.int32)
+        if kind == "dense":
+            out = _masked_blocks_jit(gen, dtype, gen_ops, ri, ci, tz, sz)
+        elif kind == "svd":
+            Uc, Vc = _dense_svd_lr_jit(gen, dtype, gen_ops, ri, ci, tz, sz)
+            r0 = jnp.zeros((size,), jnp.int32)
+            out, _, _ = _batched_truncate_jit(int(reqrank), Uc, Vc, r0,
+                                              eps_arr)
+        else:
+            Uc, Vc, rc, _ = _batched_aca_jit(
+                gen, rm, 0.5 * float(epsilon), int(reqrank), dtype,
+                gen_ops, ri, ci, tz, sz)
+            out, _, _ = _batched_truncate_jit(int(reqrank), Uc, Vc, rc,
+                                              eps_arr)
+        jax.block_until_ready(out)
+
+    if not jobs:
+        return
+    with ThreadPoolExecutor(max_workers=min(16, len(jobs))) as ex:
+        list(ex.map(run, jobs))
+    if _PROFILE:
+        print(f"[assemble] warm-up of {len(jobs)} device programs: "
+              f"{time.perf_counter() - t0:.2f}s")
+
+
+def _bucket_rmax(b, cfg) -> int:
+    """ACA candidate-rank cap for a bucket: admissible blocks needing more
+    than this are cheaper stored dense anyway (worthwhile check densifies)."""
+    rmax = max(8, int(min(b.pt, b.ps) * cfg.max_rank_ratio))
+    return min(rmax, b.pt, b.ps, 128)
+
+
+def _aca_stages(rmax: int) -> list[int]:
+    """rmax escalation ladder.  Most admissible blocks have rank far below
+    the cap (e.g. median 11 vs cap 128 for (512,512) at eps=1e-3), and ACA's
+    per-iteration cost is O(nb*(pt+ps)*rmax) HBM traffic on the padded
+    factor state — so a cheap low-rank pass first, escalating only the
+    unconverged blocks to the full cap, cuts the device time severalfold."""
+    if rmax > 48:
+        return [32, rmax]
+    return [rmax]
+
+
+def _stage2_chunk_size(nb: int, cap: int) -> int:
+    """Fixed chunk size for escalation stages: the block count reaching
+    stage 2 is data-dependent, so a SINGLE static size (padded with dead
+    blocks that exit the lockstep loop immediately) keeps the compiled
+    program set predictable for the parallel warm-up."""
+    from ..ops.aca import _ladder_size
+    return min(cap, _ladder_size(nb, cap))
+
+
+@partial(jax.jit, static_argnames=("widths",))
+def _pack_classes_jit(widths, chunk_Us, chunk_Vs, sels):
+    """Fused assembly post-pass for one bucket, ONE device program:
+    pad per-chunk factor widths to a common W, concatenate along the block
+    axis, then for every rank class gather its blocks, trim the rank axis
+    to the class width, and emit the STORAGE layout (rank-major Ut).
+
+    Issued as a single jit call because the eager spelling (per-class
+    gather + slice + astype + transpose) costs ~4 separate XLA programs
+    per class — each a ~0.4 s compile/load over a remote TPU link — which
+    round 2 profiling showed dominating the whole assembly."""
+    W = max([u.shape[2] for u in chunk_Us] + [max(widths)])
+    U_all = jnp.concatenate(
+        [jnp.pad(u, ((0, 0), (0, 0), (0, W - u.shape[2])))
+         for u in chunk_Us])
+    V_all = jnp.concatenate(
+        [jnp.pad(v, ((0, 0), (0, W - v.shape[1]), (0, 0)))
+         for v in chunk_Vs])
+    outs = []
+    for w, sel in zip(widths, sels):
+        Ut = jnp.swapaxes(U_all[sel][:, :, :w], 1, 2)  # (m, w, pt)
+        outs.append((Ut, V_all[sel][:, :w, :]))
+    return outs
+
+
 def _device_lr_bucket(gen, b, rows_idx, cols_idx, epsilon, reqrank, dtype, cfg):
     """Device generator: batched ACA (or batched dense+SVD for small blocks).
 
     All device calls are chunked over the block axis, and SVD re-truncation
     is fused into each chunk so only *trimmed* factors accumulate — peak
-    memory is bounded by the budget plus the final compressed size."""
-    from ..ops.aca import (_batched_aca_jit, _batched_truncate_jit,
-                           concat_rank_chunks, truncate_eps_array)
+    memory is bounded by the budget plus the final compressed size.
 
+    Returns (chunks, ranks, ok, order, drop): `chunks` is a list of
+    per-chunk device factor pairs (U (c, pt, w), V (c, w, ps)); the host
+    arrays are aligned with their concatenation.  Rows are ordered by
+    `order` (indices into the bucket's original blocks, possibly with
+    DUPLICATES from the rmax escalation ladder); rows flagged `drop` are
+    stage-N failures superseded by a later stage and must be neither kept
+    nor densified."""
+    from ..ops.aca import (_batched_aca_jit, _batched_truncate_jit,
+                           generator_operands, truncate_eps_array)
+
+    gen_ops = generator_operands(gen)
     t0 = time.perf_counter()
     # blockwise safety factor: partial ACA's running Frobenius estimate is
     # an underestimate, and SVD re-truncation adds its own eps-level error;
@@ -362,6 +532,8 @@ def _device_lr_bucket(gen, b, rows_idx, cols_idx, epsilon, reqrank, dtype, cfg):
     eps_arr = truncate_eps_array(0.5 * epsilon)
     dtype = np.dtype(dtype)
     chunks = []
+    order_parts: list[np.ndarray] = []
+    drop_parts: list[np.ndarray] = []
     if b.pt * b.ps <= _DENSE_SVD_MAX:
         # batched SVD/eigh expands its operand ~an order of magnitude in
         # workspace (the round-1 OOM shape) — budget with a large fudge
@@ -369,7 +541,7 @@ def _device_lr_bucket(gen, b, rows_idx, cols_idx, epsilon, reqrank, dtype, cfg):
         for i0, i1, size in _chunk_slices(b.nb, cap):
             ri, ci, tz, sz = _pad_chunk(rows_idx, cols_idx, b.t_sz, b.s_sz,
                                         i0, i1, size)
-            Uc, Vc = _dense_svd_lr_jit(gen, dtype, ri, ci, tz, sz)
+            Uc, Vc = _dense_svd_lr_jit(gen, dtype, gen_ops, ri, ci, tz, sz)
             r0 = jnp.full((size,), Uc.shape[2], dtype=jnp.int32)
             Uc, Vc, rc = _batched_truncate_jit(int(reqrank), Uc, Vc, r0,
                                                eps_arr)
@@ -377,27 +549,56 @@ def _device_lr_bucket(gen, b, rows_idx, cols_idx, epsilon, reqrank, dtype, cfg):
             w = max(int(rc.max(initial=0)), 1)
             chunks.append((Uc[:i1 - i0, :, :w], Vc[:i1 - i0, :w, :], rc,
                            np.ones(i1 - i0, bool)))
+            order_parts.append(np.arange(i0, i1))
+            drop_parts.append(np.zeros(i1 - i0, bool))
     else:
-        # cap the ACA candidate rank: admissible blocks needing more than
-        # this are cheaper stored dense anyway (worthwhile check densifies)
-        rmax = max(8, int(min(b.pt, b.ps) * cfg.max_rank_ratio))
-        rmax = min(rmax, b.pt, b.ps, 128)
-        cap = _chunk_cap((b.pt + b.ps) * (rmax + 16) * 2)
-        for i0, i1, size in _chunk_slices(b.nb, cap):
-            ri, ci, tz, sz = _pad_chunk(rows_idx, cols_idx, b.t_sz, b.s_sz,
-                                        i0, i1, size)
-            Uc, Vc, rc, okc = _batched_aca_jit(
-                gen, rmax, 0.5 * float(epsilon), int(reqrank), dtype,
-                ri, ci, tz, sz)
-            Uc, Vc, rc = _batched_truncate_jit(int(reqrank), Uc, Vc, rc,
-                                               eps_arr)
-            rc = np.asarray(rc)[:i1 - i0]
-            w = max(int(rc.max(initial=0)), 1)
-            chunks.append((Uc[:i1 - i0, :, :w], Vc[:i1 - i0, :w, :], rc,
-                           np.asarray(okc)[:i1 - i0]))
-    out = concat_rank_chunks(chunks, dtype)
+        rmax = _bucket_rmax(b, cfg)
+        stages = _aca_stages(rmax) if reqrank <= 0 else [rmax]
+        remaining = np.arange(b.nb)
+        for s_i, srm in enumerate(stages):
+            last = s_i == len(stages) - 1
+            cap = _chunk_cap((b.pt + b.ps) * (srm + 16) * 2)
+            ri_all, ci_all = rows_idx[remaining], cols_idx[remaining]
+            tz_all, sz_all = b.t_sz[remaining], b.s_sz[remaining]
+            fail_parts: list[np.ndarray] = []
+            n_rem = len(remaining)
+            s2 = _stage2_chunk_size(n_rem, cap) if s_i > 0 else None
+            slices = ([(i0, min(i0 + s2, n_rem), s2)
+                       for i0 in range(0, n_rem, s2)] if s2 is not None
+                      else _chunk_slices(n_rem, cap))
+            for i0, i1, size in slices:
+                ri, ci, tz, sz = _pad_chunk(ri_all, ci_all, tz_all, sz_all,
+                                            i0, i1, size)
+                Uc, Vc, rc, okc = _batched_aca_jit(
+                    gen, srm, 0.5 * float(epsilon), int(reqrank), dtype,
+                    gen_ops, ri, ci, tz, sz)
+                Uc, Vc, rc2 = _batched_truncate_jit(int(reqrank), Uc, Vc, rc,
+                                                    eps_arr)
+                ok_np = np.asarray(okc)[:i1 - i0]
+                rc_np = np.asarray(rc2)[:i1 - i0]
+                w = max(int(rc_np.max(initial=0)), 1)
+                chunks.append((Uc[:i1 - i0, :, :w], Vc[:i1 - i0, :w, :],
+                               rc_np, ok_np))
+                order_parts.append(remaining[i0:i1])
+                if last:
+                    drop_parts.append(np.zeros(i1 - i0, bool))
+                else:
+                    # unconverged at this stage: superseded by the next
+                    # stage's retry — never densified from THIS row
+                    drop_parts.append(~ok_np)
+                    fail_parts.append(remaining[i0:i1][~ok_np])
+            if not last:
+                remaining = (np.concatenate(fail_parts) if fail_parts
+                             else np.zeros(0, np.int64))
+                if len(remaining) == 0:
+                    break
+    out_chunks = [(U, V) for U, V, _, _ in chunks]
+    ranks = np.concatenate([c[2] for c in chunks])
+    ok = np.concatenate([c[3] for c in chunks])
+    order = np.concatenate(order_parts)
+    drop = np.concatenate(drop_parts)
     if _PROFILE:
-        out[0].block_until_ready()
+        jax.block_until_ready(out_chunks)
         print(f"[assemble] lowrank bucket ({b.pt},{b.ps}) nb={b.nb}: "
               f"{time.perf_counter() - t0:.2f}s")
-    return out
+    return out_chunks, ranks, ok, order, drop

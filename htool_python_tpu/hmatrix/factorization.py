@@ -48,8 +48,14 @@ def lu_factorization(hmatrix) -> None:
     if n != nc:
         raise ValueError("lu_factorization requires a square H-matrix")
     if n > get_config().hodlr_threshold:
-        hmatrix._factorization = ("hodlr", _hierarchical_factor(hmatrix))
-        return
+        from ..ops.hodlr import HODLRRankSaturationError
+        try:
+            hmatrix._factorization = ("hodlr", _hierarchical_factor(hmatrix))
+            return
+        except HODLRRankSaturationError as e:
+            from ..utils.logger import get_logger
+            get_logger().warning(
+                "%s; falling back to the dense LU path (O(n^2) memory)", e)
     a = jnp.asarray(hmatrix.to_dense())
     lu, piv = jsl.lu_factor(a)
     hmatrix._factorization = ("lu", lu, piv)
@@ -60,11 +66,18 @@ def cholesky_factorization(hmatrix, UPLO: str = "L") -> None:
     if n != nc:
         raise ValueError("cholesky_factorization requires a square H-matrix")
     if n > get_config().hodlr_threshold:
+        from ..ops.hodlr import HODLRRankSaturationError
         # symmetric HODLR-Woodbury: sample one triangle, mirror the factors
         sym = "H" if np.issubdtype(hmatrix.dtype, np.complexfloating) else "S"
-        hmatrix._factorization = ("hodlr",
-                                  _hierarchical_factor(hmatrix, sym=sym))
-        return
+        try:
+            hmatrix._factorization = ("hodlr",
+                                      _hierarchical_factor(hmatrix, sym=sym))
+            return
+        except HODLRRankSaturationError as e:
+            from ..utils.logger import get_logger
+            get_logger().warning(
+                "%s; falling back to the dense Cholesky path "
+                "(O(n^2) memory)", e)
     a = jnp.asarray(hmatrix.to_dense())
     c = jsl.cholesky(a, lower=(UPLO == "L"))
     hmatrix._factorization = ("cholesky", c, UPLO)
@@ -81,13 +94,29 @@ def _solve_internal(hmatrix, trans: str, b_int):
         t = {"N": 0, "T": 1, "C": 2}[trans]
         x = jsl.lu_solve((lu, piv), jnp.asarray(b2), trans=t)
     elif kind == "hodlr":
+        import logging
+
         from ..ops.hodlr import hodlr_solve
+        from ..utils.logger import get_logger
         _, fact = hmatrix._factorization
         b_dev = jnp.asarray(b2)
         x = hodlr_solve(fact, b_dev, trans)
-        for _ in range(get_config().hodlr_refine_iters):
+        log = get_logger()
+        debug = log.isEnabledFor(logging.DEBUG)
+        res0 = None
+        for i in range(get_config().hodlr_refine_iters):
             r = b_dev - hmatrix._apply_internal_2d(x, trans)
+            if debug and i == 0:
+                res0 = float(jnp.linalg.norm(r) / jnp.linalg.norm(b_dev))
             x = x + hodlr_solve(fact, r, trans)
+        if debug and res0 is not None:
+            rf = b_dev - hmatrix._apply_internal_2d(x, trans)
+            resf = float(jnp.linalg.norm(rf) / jnp.linalg.norm(b_dev))
+            if res0 > 10 * hmatrix.epsilon > resf:
+                log.debug(
+                    "HODLR solve: raw factorization residual %.2e exceeded "
+                    "epsilon=%.0e; iterative refinement carried it to %.2e",
+                    res0, hmatrix.epsilon, resf)
     else:
         _, c, UPLO = hmatrix._factorization
         lower = UPLO == "L"

@@ -87,23 +87,43 @@ class MatrixGenerator(VirtualGenerator):
         mat[:, :] = self.matrix[np.ix_(np.asarray(J), np.asarray(K))]
 
     # --- device batch interface ---
+    # The data arrays travel as DYNAMIC jit arguments (device_operands),
+    # never as closure constants: a generator captured as a static jit arg
+    # would embed its (N, dim)/(N, N) arrays as HLO literals, which makes
+    # XLA constant-fold over them (minutes-long compiles over a remote
+    # link) and keys the compilation cache on the DATA instead of the
+    # SHAPES (no reuse across geometries / sub-builds).
+    def device_operands(self):
+        return (self._device_matrix,)
+
+    def device_blocks_ops(self, ops, t_idx, s_idx):
+        """t_idx (nb, bt), s_idx (nb, bs) user indices -> (nb, bt, bs)."""
+        (a,) = ops
+        return a[t_idx[:, :, None], s_idx[:, None, :]]
+
+    def device_rows_ops(self, ops, t_idx, s_idx):
+        """t_idx (nb,), s_idx (nb, bs) -> (nb, bs)."""
+        (a,) = ops
+        return a[t_idx[:, None], s_idx]
+
+    def device_cols_ops(self, ops, t_idx, s_idx):
+        """t_idx (nb, bt), s_idx (nb,) -> (nb, bt)."""
+        (a,) = ops
+        return a[t_idx, s_idx[:, None]]
+
+    # legacy closure-capturing spellings (kept for user code written against
+    # them; the assembly fast path prefers the *_ops forms above)
     def device_matrix(self):
         return self._device_matrix
 
     def device_blocks(self, t_idx, s_idx):
-        """t_idx (nb, bt), s_idx (nb, bs) user indices -> (nb, bt, bs)."""
-        a = self.device_matrix()
-        return a[t_idx[:, :, None], s_idx[:, None, :]]
+        return self.device_blocks_ops(self.device_operands(), t_idx, s_idx)
 
     def device_rows(self, t_idx, s_idx):
-        """t_idx (nb,), s_idx (nb, bs) -> (nb, bs)."""
-        a = self.device_matrix()
-        return a[t_idx[:, None], s_idx]
+        return self.device_rows_ops(self.device_operands(), t_idx, s_idx)
 
     def device_cols(self, t_idx, s_idx):
-        """t_idx (nb, bt), s_idx (nb,) -> (nb, bt)."""
-        a = self.device_matrix()
-        return a[t_idx, s_idx[:, None]]
+        return self.device_cols_ops(self.device_operands(), t_idx, s_idx)
 
 
 class KernelGenerator(VirtualGenerator):
@@ -133,17 +153,31 @@ class KernelGenerator(VirtualGenerator):
         sx = self.source_points[:, np.asarray(K)].T
         mat[:, :] = np.asarray(self.kernel(tx[:, None, :], sx[None, :, :]))
 
-    def device_blocks(self, t_idx, s_idx):
-        tx, sx = self._device_points()
+    # --- device batch interface (see MatrixGenerator: operands are DYNAMIC
+    # jit arguments so compiles key on shapes, not point values) ---
+    def device_operands(self):
+        return (self._tx, self._sx)
+
+    def device_blocks_ops(self, ops, t_idx, s_idx):
+        tx, sx = ops
         return self.kernel(tx[t_idx][:, :, None, :], sx[s_idx][:, None, :, :])
 
-    def device_rows(self, t_idx, s_idx):
-        tx, sx = self._device_points()
+    def device_rows_ops(self, ops, t_idx, s_idx):
+        tx, sx = ops
         return self.kernel(tx[t_idx][:, None, :], sx[s_idx])
 
-    def device_cols(self, t_idx, s_idx):
-        tx, sx = self._device_points()
+    def device_cols_ops(self, ops, t_idx, s_idx):
+        tx, sx = ops
         return self.kernel(tx[t_idx], sx[s_idx][:, None, :])
+
+    def device_blocks(self, t_idx, s_idx):
+        return self.device_blocks_ops(self.device_operands(), t_idx, s_idx)
+
+    def device_rows(self, t_idx, s_idx):
+        return self.device_rows_ops(self.device_operands(), t_idx, s_idx)
+
+    def device_cols(self, t_idx, s_idx):
+        return self.device_cols_ops(self.device_operands(), t_idx, s_idx)
 
 
 class VirtualLowRankGenerator:

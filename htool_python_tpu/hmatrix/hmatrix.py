@@ -24,6 +24,42 @@ from .assembly import assemble
 from .plan import BlockPlan, build_block_plan
 
 
+def _reduced_info_dict(tuples: list[np.ndarray]) -> dict:
+    """Merge `_information_tuple` rows (one per rank/partition) into the
+    reference's reduced info dict (hmatrix.hpp:52-54 semantics: sums for
+    sizes/blocks/storage, min/max/mean over ranks)."""
+    a = np.stack(tuples)
+    rows = int(a[:, 0].sum())
+    cols = int(a[0, 1])  # every piece spans the full source width
+    dense_b = int(a[:, 2].sum())
+    lr_b = int(a[:, 3].sum())
+    stored = int(a[:, 4].sum())
+    nbytes = int(a[:, 5].sum())
+    rank_count = int(a[:, 9].sum())
+    min_rank = int(a[:, 6].min()) if rank_count else 0
+    max_rank = int(a[:, 7].max())
+    mean_rank = (float(a[:, 8].sum()) / rank_count) if rank_count else 0.0
+    total = max(rows * cols, 1)
+    return {
+        "Number_of_rows": str(rows),
+        "Number_of_columns": str(cols),
+        "Number_of_dense_blocks": str(dense_b),
+        "Number_of_low_rank_blocks": str(lr_b),
+        "Compression_ratio": str(total / max(stored, 1)),
+        "Space_saving": str(1.0 - stored / total),
+        "Storage_size_in_bytes": str(nbytes),
+        "Min_rank": str(min_rank),
+        "Max_rank": str(max_rank),
+        "Mean_rank": str(mean_rank),
+    }
+
+
+def reduce_hmatrix_information(hmatrices) -> dict:
+    """Reduce info over a collection of H-matrices held in ONE process (the
+    SPMD analog of the reference's per-rank MPI reduction)."""
+    return _reduced_info_dict([h._information_tuple() for h in hmatrices])
+
+
 class HMatrix:
     """Compressed operator over (target_cluster × source_cluster)."""
 
@@ -45,9 +81,11 @@ class HMatrix:
         maxdim = max([b.pt for b in plan.dense_buckets + plan.lowrank_buckets]
                      + [b.ps for b in plan.dense_buckets + plan.lowrank_buckets]
                      + [1])
-        # +128 slack and 128-multiple length: the Pallas kernels read
-        # 128-aligned windows extended by one lane tile past any segment
-        self._pad_len = -(-(max(nt, ns) + maxdim + 128) // 128) * 128
+        # +384 slack and 128-multiple length: the Pallas kernels read/write
+        # 128-ALIGNED rotate windows (ops/pallas_matvec.py _win_width) that
+        # can extend up to 255 lanes past a segment's end, from a base up
+        # to 127 lanes before its start
+        self._pad_len = -(-(max(nt, ns) + maxdim + 384) // 128) * 128
 
     # ------------------------------------------------------------------
     @property
@@ -296,10 +334,42 @@ class HMatrix:
         }
         return info
 
+    def _information_tuple(self):
+        """Numeric stats reduced by get_distributed_information:
+        (rows, cols, dense_blocks, lr_blocks, stored_entries, bytes,
+        min_rank, max_rank, rank_sum, rank_count)."""
+        nt, ns = self.shape
+        dense_e, lr_e, ranks = self._storage_counts()
+        stored = dense_e + lr_e
+        return np.array([
+            nt, ns, self.plan.nb_dense_blocks(), self.plan.nb_lowrank_blocks(),
+            stored, stored * self.dtype.itemsize,
+            int(ranks.min()) if len(ranks) else np.iinfo(np.int64).max,
+            int(ranks.max()) if len(ranks) else 0,
+            int(ranks.sum()) if len(ranks) else 0, len(ranks),
+        ], dtype=np.int64)
+
     def get_distributed_information(self, comm=None) -> dict:
-        """Single-process aggregate (the mesh-distributed analog of the
-        reference's MPI-reduced stats, hmatrix.hpp:52-54)."""
-        info = self.get_local_information()
+        """Stats reduced across the distributed pieces of the operator —
+        the mesh/multi-host analog of the reference's MPI-reduced
+        `get_distributed_information(comm)` (hmatrix.hpp:52-54).
+
+        Under `jax.distributed` (process_count > 1) each process passes its
+        local block-row H-matrix, exactly like each MPI rank does in the
+        reference; the numeric stats are allgather-reduced over processes.
+        Single-process SPMD callers holding ALL partitions should reduce
+        over them via `reduce_hmatrix_information` (used by
+        `DistributedOperator.get_distributed_information`)."""
+        import jax
+
+        tup = self._information_tuple()
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            all_tups = np.asarray(
+                multihost_utils.process_allgather(jnp.asarray(tup)))
+            info = _reduced_info_dict(list(all_tups))
+        else:
+            info = _reduced_info_dict([tup])
         info["Number_of_partitions"] = str(
             len(self.plan.target_root.tree.partition))
         return info

@@ -28,12 +28,22 @@ from ..config import get_config
 
 
 def _pad_dim(n: int) -> int:
-    """Round a block dimension up to the bucket grid (powers of two, min 8)."""
+    """Round a block dimension up to the bucket grid: powers of two up to
+    64, multiples of 64 above.
+
+    Cluster subtree sizes are arbitrary (N/2^k is almost never a power of
+    two), so a pure pow2 grid pads up to 2x PER DIMENSION — round 2's
+    bench stored 2.35x the compressed entries and the matvec streams that
+    padding.  A 64-multiple grid caps dimension padding at ~1.2x while
+    64 stays coarse enough to keep the bucket-shape count (= compiled
+    program count) small."""
     cfg = get_config()
     p = max(cfg.min_bucket_dim, 1)
-    while p < n:
+    while p < n and p < 64:
         p *= 2
-    return p
+    if n <= p:
+        return p
+    return -(-n // 64) * 64
 
 
 @dataclasses.dataclass

@@ -93,6 +93,16 @@ void largest_eigvec(int dim, double* a /*dim*dim*/, double* v_out) {
     for (int i = 1; i < dim; ++i)
         if (a[i * dim + i] > a[best * dim + best]) best = i;
     for (int k = 0; k < dim; ++k) v_out[k] = v[static_cast<size_t>(k) * dim + best];
+    // sign convention (must match clustering/partitioning.py _pca_direction):
+    // flip so the largest-magnitude component is positive — eigenvectors are
+    // only defined up to sign and a flip reverses the projection sort, so a
+    // fixed convention keeps the native and numpy paths producing the same
+    // tree on the same inputs.
+    int big = 0;
+    for (int k = 1; k < dim; ++k)
+        if (std::fabs(v_out[k]) > std::fabs(v_out[big])) big = k;
+    if (v_out[big] < 0)
+        for (int k = 0; k < dim; ++k) v_out[k] = -v_out[k];
 }
 
 void compute_direction(const Params& P, const int64_t* idx, int64_t m,

@@ -45,13 +45,26 @@ def _chunk_cap(per_block_elems: int) -> int:
     return max(8, _pow2_floor(budget // max(per_block_elems, 1)))
 
 
+def _ladder_size(nb: int, cap: int) -> int:
+    """Smallest size from the 4x ladder {cap, cap/4, cap/16, ..., >=8}
+    that is >= nb.  Restricting chunk sizes to this ladder bounds the
+    number of distinct compiled programs (each distinct batch size is a
+    separate XLA program — expensive to compile/load over a remote link)
+    and makes the full program set PREDICTABLE from the plan, which the
+    parallel compile warm-up (hmatrix/assembly.py) relies on."""
+    s = cap
+    while s // 4 >= max(nb, 8):
+        s //= 4
+    return s
+
+
 def _chunk_slices(nb: int, cap: int):
     """Yield (start, stop, padded_size) covering [0, nb) in chunks.
 
-    Chunks are `cap`-sized when nb > cap; a single pow2-padded chunk
+    Chunks are `cap`-sized when nb > cap; a single ladder-padded chunk
     otherwise — so compiles are keyed by a bounded set of batch sizes."""
     if nb <= cap:
-        yield 0, nb, _pow2_ceil(nb)
+        yield 0, nb, _ladder_size(nb, cap)
         return
     for i0 in range(0, nb, cap):
         yield i0, min(i0 + cap, nb), cap
@@ -80,6 +93,7 @@ def batched_aca(gen, t_idx, s_idx, t_sz, s_sz, rmax: int, eps: float,
     s_sz = np.asarray(s_sz, dtype=np.int32)
     nb, pt = t_idx.shape
     ps = s_idx.shape[1]
+    ops = generator_operands(gen)
     # ACA state per block ~ pt*rmax + rmax*ps (+ generator row/col evals)
     cap = _chunk_cap((pt + ps) * (int(rmax) + 16) * 2)
     outs = []
@@ -93,7 +107,7 @@ def batched_aca(gen, t_idx, s_idx, t_sz, s_sz, rmax: int, eps: float,
         tz[:c], sz[:c] = t_sz[i0:i1], s_sz[i0:i1]
         U, V, rk, ok = _batched_aca_jit(
             gen, int(rmax), float(eps), int(reqrank), np.dtype(dtype),
-            jnp.asarray(ti), jnp.asarray(si), jnp.asarray(tz),
+            ops, jnp.asarray(ti), jnp.asarray(si), jnp.asarray(tz),
             jnp.asarray(sz))
         outs.append((U[:c], V[:c], rk[:c], ok[:c]))
     if len(outs) == 1:
@@ -139,8 +153,41 @@ def concat_rank_chunks(chunks, dtype):
     return U, V, np.concatenate(rks), np.concatenate(oks)
 
 
+def generator_operands(gen):
+    """The generator's device data as a pytree of DYNAMIC jit operands.
+
+    Passing these as arguments (instead of letting the static `gen` close
+    over them) keeps HLO free of large literals: XLA would otherwise
+    constant-fold over the embedded (N, dim) / (N, N) arrays — compiles
+    measured in MINUTES over a remote TPU link — and the compilation cache
+    would key on the data values, never hitting across geometries,
+    problem sizes, or per-partition sub-builds."""
+    if hasattr(gen, "device_operands"):
+        return gen.device_operands()
+    return ()
+
+
+def _gen_rows(gen, ops, t_idx, s_idx):
+    if hasattr(gen, "device_rows_ops"):
+        return gen.device_rows_ops(ops, t_idx, s_idx)
+    return gen.device_rows(t_idx, s_idx)  # legacy closure-capturing path
+
+
+def _gen_cols(gen, ops, t_idx, s_idx):
+    if hasattr(gen, "device_cols_ops"):
+        return gen.device_cols_ops(ops, t_idx, s_idx)
+    return gen.device_cols(t_idx, s_idx)
+
+
+def _gen_blocks(gen, ops, t_idx, s_idx):
+    if hasattr(gen, "device_blocks_ops"):
+        return gen.device_blocks_ops(ops, t_idx, s_idx)
+    return gen.device_blocks(t_idx, s_idx)
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
-def _batched_aca_jit(gen, rmax, eps, reqrank, dtype, t_idx, s_idx, t_sz, s_sz):
+def _batched_aca_jit(gen, rmax, eps, reqrank, dtype, ops, t_idx, s_idx,
+                     t_sz, s_sz):
     """jitted ACA core; `gen` is static (hashed by identity) so the XLA
     cache is keyed by (generator, bucket shapes) — one compile per shape."""
     nb, pt = t_idx.shape
@@ -163,8 +210,8 @@ def _batched_aca_jit(gen, rmax, eps, reqrank, dtype, t_idx, s_idx, t_sz, s_sz):
         k, U, V, used, next_i, fro2, rank, conv_cnt, stopped = state
         i_k = next_i  # (nb,)
         # residual row at i_k (cast: generator may evaluate in f64 under x64)
-        rows = gen.device_rows(t_idx[arange_nb, i_k],
-                               s_idx).astype(dtype)  # (nb, ps)
+        rows = _gen_rows(gen, ops, t_idx[arange_nb, i_k],
+                         s_idx).astype(dtype)  # (nb, ps)
         Ui = U[arange_nb, i_k]  # (nb, rmax)
         rows = rows - jnp.einsum("nr,nrj->nj", Ui, V, precision=_HI)
         rows = jnp.where(col_valid, rows, 0)
@@ -178,8 +225,8 @@ def _batched_aca_jit(gen, rmax, eps, reqrank, dtype, t_idx, s_idx, t_sz, s_sz):
         safe_delta = jnp.where(zero_piv, 1.0, delta)
         v_k = rows / safe_delta[:, None]
         # residual column at j_k
-        cols = gen.device_cols(t_idx,
-                               s_idx[arange_nb, j_k]).astype(dtype)  # (nb, pt)
+        cols = _gen_cols(gen, ops, t_idx,
+                         s_idx[arange_nb, j_k]).astype(dtype)  # (nb, pt)
         Vj = V[arange_nb, :, j_k]  # (nb, rmax)
         cols = cols - jnp.einsum("nir,nr->ni", U, Vj, precision=_HI)
         u_k = jnp.where(row_valid, cols, 0)

@@ -165,10 +165,16 @@ def hodlr_matvec(h: HODLR, x, trans: str = "N"):
 # construction by randomized peeling
 
 
+class HODLRRankSaturationError(RuntimeError):
+    """Raised when an off-diagonal block's numerical rank exceeds the
+    adaptive sampling cap: the operator is not HODLR-compressible at the
+    requested tolerance (callers fall back to the dense factorization)."""
+
+
 def build_hodlr(apply_fn, n: int, dtype, eps: float, leaf_size: int = 256,
                 sample_size: int = 32, power_iters: int = 1,
                 rng: np.random.Generator | None = None,
-                sym: str = "N") -> HODLR:
+                sym: str = "N", max_sample_size: int | None = None) -> HODLR:
     """Compress the operator `apply_fn` into HODLR form.
 
     apply_fn(X, trans): (n, k) -> (n, k) for trans in {'N','T','C'}.
@@ -178,7 +184,15 @@ def build_hodlr(apply_fn, n: int, dtype, eps: float, leaf_size: int = 256,
     an exactly (skew-free) symmetric representation, the symmetric variant
     the reference's `cholesky_factorization` implies
     (src/htool/hmatrix/hmatrix.hpp:61-63).
+    max_sample_size: cap on the adaptive sample-doubling per level
+    (default: config.hodlr_max_sample_size, itself capped at the block
+    size).  Exceeding it raises HODLRRankSaturationError instead of
+    peeling toward k = m with dense-size probe batches.
     """
+    from ..config import get_config
+
+    if max_sample_size is None:
+        max_sample_size = get_config().hodlr_max_sample_size
     if rng is None:
         rng = np.random.default_rng(0x5eed)
     dtype = np.dtype(dtype)
@@ -243,7 +257,13 @@ def build_hodlr(apply_fn, n: int, dtype, eps: float, leaf_size: int = 256,
                 factors.append((U1, V1, r1))
             if ok:
                 break
-            k = min(2 * k, m)
+            if k >= min(max_sample_size, m):
+                raise HODLRRankSaturationError(
+                    f"HODLR level {j}: off-diagonal rank exceeds the sample "
+                    f"cap {min(max_sample_size, m)} (block size {m}, eps "
+                    f"{eps:g}); operator is not HODLR-compressible at this "
+                    "tolerance")
+            k = min(2 * k, m, max_sample_size)
         if sym in ("S", "H"):
             # mirror: A_ba = (U_up V_up)^sigma  =>  U_lo = V_up^sigma,
             # V_lo = U_up^sigma  (sigma = T for 'S', H for 'H')

@@ -45,13 +45,65 @@ def _scatter_add(y_pad, off, vals):
     return y_pad.at[idx].add(vals)
 
 
+# ----------------------------------------------------------------------
+# Per-bucket block-term primitives.  These four functions are the SINGLE
+# definition of how a bucket of blocks transforms gathered input segments
+# — consumed by apply_hmatrix_padded below AND by the mesh-sharded
+# operator (parallel/sharded.py), so the low-rank storage layout
+# (rank-major Ut (nb, r, pt), V (nb, r, ps)) cannot silently diverge
+# between the single-chip and multi-chip paths.
+# ----------------------------------------------------------------------
+
+def dense_block_term(D, xg, conj=False, dtype=None):
+    """Apply dense blocks: D (nb,pt,ps) @ xg (nb,ps,k) -> (nb,pt,k)."""
+    dtype = dtype or D.dtype
+    Dm = jnp.conj(D) if conj else D
+    return jnp.einsum("nij,njk->nik", Dm, xg,
+                      preferred_element_type=dtype, precision=_HI)
+
+
+def dense_block_term_t(D, xg, conj=False, dtype=None):
+    """Apply transposed dense blocks: D^(T/H) with xg (nb,pt,k) -> (nb,ps,k).
+    conj=True applies the conjugate transpose."""
+    dtype = dtype or D.dtype
+    Dm = jnp.conj(D) if conj else D
+    return jnp.einsum("nij,nik->njk", Dm, xg,
+                      preferred_element_type=dtype, precision=_HI)
+
+
+def lowrank_block_term(Ut, V, xg, conj=False, dtype=None):
+    """Apply low-rank blocks B = U V: Ut (nb,r,pt) RANK-MAJOR, V (nb,r,ps),
+    xg (nb,ps,k) -> (nb,pt,k) via the two-stage contraction w = V x;
+    y = U w."""
+    dtype = dtype or Ut.dtype
+    Um = jnp.conj(Ut) if conj else Ut
+    Vm = jnp.conj(V) if conj else V
+    w = jnp.einsum("nrj,njk->nrk", Vm, xg,
+                   preferred_element_type=dtype, precision=_HI)
+    return jnp.einsum("nri,nrk->nik", Um, w,
+                      preferred_element_type=dtype, precision=_HI)
+
+
+def lowrank_block_term_t(Ut, V, xg, conj=False, dtype=None):
+    """Apply transposed low-rank blocks B^(T/H) = V^(T/H) U^(T/H):
+    xg (nb,pt,k) -> (nb,ps,k)."""
+    dtype = dtype or Ut.dtype
+    Um = jnp.conj(Ut) if conj else Ut
+    Vm = jnp.conj(V) if conj else V
+    w = jnp.einsum("nri,nik->nrk", Um, xg,
+                   preferred_element_type=dtype, precision=_HI)
+    return jnp.einsum("nrj,nrk->njk", Vm, w,
+                      preferred_element_type=dtype, precision=_HI)
+
+
 @partial(jax.jit, static_argnames=("ny_pad", "trans", "sym"))
 def apply_hmatrix_padded(data, x_pad, ny_pad: int, trans: str, sym: str):
     """Compute y_pad = H^(trans) @ x_pad over bucketed block data.
 
     data: dict with
       'dense': list of (D (nb,pt,ps), t_off (nb,), s_off (nb,), mirror (nb,) f)
-      'lr':    list of (U (nb,pt,r), V (nb,r,ps), t_off, s_off, mirror)
+      'lr':    list of (Ut (nb,r,pt) RANK-MAJOR, V (nb,r,ps), t_off, s_off,
+               mirror)
     x_pad: (ns_pad, k) padded input (zeros in the pad region).
     trans: 'N' | 'T' | 'C'.  sym: 'N' | 'S' | 'H' (how mirrors transform).
     Returns y_pad (ny_pad, k).
@@ -60,78 +112,58 @@ def apply_hmatrix_padded(data, x_pad, ny_pad: int, trans: str, sym: str):
                             *(d[0].dtype for d in data["dense"]),
                             *(u[0].dtype for u in data["lr"]))
     y = jnp.zeros((ny_pad, x_pad.shape[1]), dtype=dtype)
-
-    def dense_term(D, xg):
-        return jnp.einsum("nij,njk->nik", D, xg,
-                          preferred_element_type=dtype, precision=_HI)
-
-    def dense_term_t(D, xg, conj):
-        Dc = jnp.conj(D) if conj else D
-        return jnp.einsum("nij,nik->njk", Dc, xg,
-                          preferred_element_type=dtype, precision=_HI)
+    conj_main = trans == "C"
+    # mirror blocks transform by sigma = T ('S') / H ('H'); composing with
+    # the product's own trans gives one conjugation flag:
+    conj_mirror = (sym == "H") != (trans == "C")
 
     for D, t_off, s_off, mirror in data["dense"]:
         pt, ps = D.shape[1], D.shape[2]
         m = mirror.astype(dtype)[:, None, None]
         if trans == "N":
-            y = _scatter_add(y, t_off, dense_term(D, _gather(x_pad, s_off, ps)))
-            # mirror: sigma(D) at (s,t); sigma = T ('S') or H ('H')
+            y = _scatter_add(y, t_off,
+                             dense_block_term(D, _gather(x_pad, s_off, ps),
+                                              dtype=dtype))
+            # mirror: sigma(D) at (s,t)
             xg = _gather(x_pad, t_off, pt)
             y = _scatter_add(y, s_off,
-                             dense_term_t(D, xg, conj=(sym == "H")) * m)
-        elif trans == "T":
+                             dense_block_term_t(D, xg, conj=(sym == "H"),
+                                                dtype=dtype) * m)
+        else:
             y = _scatter_add(y, s_off,
-                             dense_term_t(D, _gather(x_pad, t_off, pt), conj=False))
+                             dense_block_term_t(D, _gather(x_pad, t_off, pt),
+                                                conj=conj_main, dtype=dtype))
             xg = _gather(x_pad, s_off, ps)
-            Dm = jnp.conj(D) if sym == "H" else D
-            y = _scatter_add(y, t_off, dense_term(Dm, xg) * m)
-        else:  # 'C'
-            y = _scatter_add(y, s_off,
-                             dense_term_t(D, _gather(x_pad, t_off, pt), conj=True))
-            xg = _gather(x_pad, s_off, ps)
-            Dm = D if sym == "H" else jnp.conj(D)
-            y = _scatter_add(y, t_off, dense_term(Dm, xg) * m)
+            y = _scatter_add(y, t_off,
+                             dense_block_term(D, xg, conj=conj_mirror,
+                                              dtype=dtype) * m)
 
     # low-rank factors are stored rank-major: Ut (nb, r, pt), V (nb, r, ps).
     # TPU physical layout pads the minor-most dim to 128 lanes, so keeping
     # the (small) rank axis second-minor means rank-bucketed factors only
     # pad r to a multiple of 8 — the matvec streams ~what it stores.
     for Ut, V, t_off, s_off, mirror in data["lr"]:
-        r, pt, ps = Ut.shape[1], Ut.shape[2], V.shape[2]
+        pt, ps = Ut.shape[2], V.shape[2]
         m = mirror.astype(dtype)[:, None, None]
         if trans == "N":
             xg = _gather(x_pad, s_off, ps)
-            w = jnp.einsum("nrj,njk->nrk", V, xg, preferred_element_type=dtype, precision=_HI)
             y = _scatter_add(y, t_off,
-                             jnp.einsum("nri,nrk->nik", Ut, w,
-                                        preferred_element_type=dtype, precision=_HI))
-            # mirror: sigma(UV) = sigma(V) sigma(U) at (s,t)
+                             lowrank_block_term(Ut, V, xg, dtype=dtype))
+            # mirror: sigma(UV) at (s,t)
             xg = _gather(x_pad, t_off, pt)
-            Uc = jnp.conj(Ut) if sym == "H" else Ut
-            Vc = jnp.conj(V) if sym == "H" else V
-            w = jnp.einsum("nri,nik->nrk", Uc, xg, preferred_element_type=dtype, precision=_HI)
             y = _scatter_add(y, s_off,
-                             jnp.einsum("nrj,nrk->njk", Vc, w,
-                                        preferred_element_type=dtype, precision=_HI) * m)
+                             lowrank_block_term_t(Ut, V, xg,
+                                                  conj=(sym == "H"),
+                                                  dtype=dtype) * m)
         else:
-            conj_main = trans == "C"
-            Uc = jnp.conj(Ut) if conj_main else Ut
-            Vc = jnp.conj(V) if conj_main else V
             xg = _gather(x_pad, t_off, pt)
-            w = jnp.einsum("nri,nik->nrk", Uc, xg, preferred_element_type=dtype, precision=_HI)
             y = _scatter_add(y, s_off,
-                             jnp.einsum("nrj,nrk->njk", Vc, w,
-                                        preferred_element_type=dtype, precision=_HI))
-            # mirror^(trans): for 'S': (UV)^T mirror -> UV at (t,s) under T;
-            # composition handled by conj flags:
-            conj_mirror = (sym == "H") != (trans == "C")
-            Um = jnp.conj(Ut) if conj_mirror else Ut
-            Vm = jnp.conj(V) if conj_mirror else V
+                             lowrank_block_term_t(Ut, V, xg, conj=conj_main,
+                                                  dtype=dtype))
             xg = _gather(x_pad, s_off, ps)
-            w = jnp.einsum("nrj,njk->nrk", Vm, xg, preferred_element_type=dtype, precision=_HI)
             y = _scatter_add(y, t_off,
-                             jnp.einsum("nri,nrk->nik", Um, w,
-                                        preferred_element_type=dtype, precision=_HI) * m)
+                             lowrank_block_term(Ut, V, xg, conj=conj_mirror,
+                                                dtype=dtype) * m)
 
     return y
 
@@ -188,21 +220,38 @@ def apply_hmatrix_user(data, perm_in, inv_perm_out, x2d, pad_len: int,
     return y_pad[:nout][inv_perm_out]
 
 
+class RankMajorFactors(tuple):
+    """Marker for low-rank factors already in storage layout
+    (Ut (nb, r, pt), V (nb, r, ps)) — produced by the fused assembly
+    post-pass so pack_bucket_data skips the transpose."""
+
+    __slots__ = ()
+
+    def __new__(cls, Ut, V):
+        return tuple.__new__(cls, (Ut, V))
+
+
 def pack_bucket_data(dense_buckets, dense_arrays, lr_buckets, lr_arrays):
     """Build the pytree consumed by apply_hmatrix_padded from plan buckets
     (host numpy offsets) and device data arrays.
 
     Accepts low-rank factors as (U (nb, pt, r), V (nb, r, ps)) — the
-    assembly-natural layout — and stores Ut (nb, r, pt): on TPU the
-    minor-most axis is padded to 128 lanes, so the rank axis must be
-    second-minor for rank-bucketed storage to actually save HBM."""
+    assembly-natural layout — or RankMajorFactors already transposed, and
+    stores Ut (nb, r, pt): on TPU the minor-most axis is padded to 128
+    lanes, so the rank axis must be second-minor for rank-bucketed storage
+    to actually save HBM."""
     dense = []
     for b, D in zip(dense_buckets, dense_arrays):
         dense.append((D, jnp.asarray(b.t_off), jnp.asarray(b.s_off),
                       jnp.asarray(b.mirror)))
     lr = []
-    for b, (U, V) in zip(lr_buckets, lr_arrays):
-        Ut = jnp.swapaxes(jnp.asarray(U), 1, 2)
+    for b, pair in zip(lr_buckets, lr_arrays):
+        if isinstance(pair, RankMajorFactors):
+            Ut, V = pair
+            Ut = jnp.asarray(Ut)
+        else:
+            U, V = pair
+            Ut = jnp.swapaxes(jnp.asarray(U), 1, 2)
         lr.append((Ut, jnp.asarray(V), jnp.asarray(b.t_off),
                    jnp.asarray(b.s_off), jnp.asarray(b.mirror)))
     return {"dense": dense, "lr": lr}
@@ -210,11 +259,14 @@ def pack_bucket_data(dense_buckets, dense_arrays, lr_buckets, lr_arrays):
 
 def padded_lengths(plan):
     """(ny_pad, ns_pad) covering every scatter/gather target of the plan,
-    for both 'N' and transpose products (mirrors write to both sides)."""
+    for both 'N' and transpose products (mirrors write to both sides).
+    The extra 256 + round-to-128 covers the Pallas kernels' 128-aligned
+    rotate windows (ops/pallas_matvec.py _win_width)."""
     nt, ns = plan.nb_rows, plan.nb_cols
     max_pt = max([b.pt for b in plan.dense_buckets + plan.lowrank_buckets],
                  default=1)
     max_ps = max([b.ps for b in plan.dense_buckets + plan.lowrank_buckets],
                  default=1)
-    pad = max(max_pt, max_ps)
-    return nt + pad, ns + pad
+    pad = max(max_pt, max_ps) + 256
+    r128 = lambda v: -(-v // 128) * 128
+    return r128(nt + pad), r128(ns + pad)

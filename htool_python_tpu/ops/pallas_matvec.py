@@ -45,66 +45,85 @@ def _dot(a, b, dims, dtype):
 # base and dynamic-rotate (tpu.DynamicRotate) by the residual — a cheap VPU
 # lane shuffle of a (k, width+128) tile.
 
+def _win_width(width: int) -> int:
+    """Aligned window size covering width + a <128 shift: Mosaic's
+    tpu.dynamic_rotate requires the rotated vector's lane extent to be a
+    multiple of 128 (e.g. a 448-lane window fails to compile)."""
+    return -(-(width + 128) // 128) * 128
+
+
 def _load_seg(x_ref, off, width: int):
     """x_ref[:, off:off+width] with an arbitrary dynamic offset."""
+    W = _win_width(width)
     base = pl.multiple_of((off // 128) * 128, 128)
-    win = x_ref[:, pl.ds(base, width + 128)]
+    win = x_ref[:, pl.ds(base, W)]
     sh = off - base  # 0..127
-    return pltpu.roll(win, width + 128 - sh, 1)[:, :width]
+    return pltpu.roll(win, W - sh, 1)[:, :width]
 
 
 def _accum_seg(y_ref, off, width: int, acc):
     """y_ref[:, off:off+width] += acc with an arbitrary dynamic offset."""
+    W = _win_width(width)
     base = pl.multiple_of((off // 128) * 128, 128)
-    win = y_ref[:, pl.ds(base, width + 128)]
+    win = y_ref[:, pl.ds(base, W)]
     sh = off - base
-    buf = jnp.pad(acc, ((0, 0), (0, 128)))
-    y_ref[:, pl.ds(base, width + 128)] = win + pltpu.roll(buf, sh, 1)
+    buf = jnp.pad(acc, ((0, 0), (0, W - acc.shape[1])))
+    y_ref[:, pl.ds(base, W)] = win + pltpu.roll(buf, sh, 1)
 
 
-def _dense_bucket_kernel(swapped: bool, sym: bool, pt: int, ps: int,
+def _dense_bucket_kernel(swapped: bool, sym: bool, G: int, pt: int, ps: int,
                          t_off, s_off, mir, D_ref, x_ref, y_ref):
-    """One grid step = one block: y[:, out_seg] += x[:, in_seg] . D."""
+    """One grid step = G blocks: y[:, out_seg] += x[:, in_seg] . D.
+
+    Processing G blocks per step amortizes the fixed per-grid-step cost
+    (pipeline bookkeeping dominates for small blocks — round-2 verdict
+    measured the one-block-per-step version at 13.7% of the HBM roofline
+    with small buckets as the main sink)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
-    D = D_ref[0]  # (pt, ps)
     dtype = y_ref.dtype
-    to, so = t_off[i], s_off[i]
 
-    def main_term():
-        # y[t] += D @ x[s]  (as (k,ps) x contract ps -> (k,pt))
-        xs = _load_seg(x_ref, so, ps)
-        acc = _dot(xs, D, (((1,), (1,))), dtype)
-        _accum_seg(y_ref, to, pt, acc)
+    def body(j, carry):
+        D = D_ref[j]  # (pt, ps)
+        to, so = t_off[i * G + j], s_off[i * G + j]
 
-    def mirror_term():
-        # y[s] += D^T @ x[t]
-        xt = _load_seg(x_ref, to, pt)
-        acc = _dot(xt, D, (((1,), (0,))), dtype)
-        _accum_seg(y_ref, so, ps, acc)
+        def main_term():
+            # y[t] += D @ x[s]  (as (k,ps) x contract ps -> (k,pt))
+            xs = _load_seg(x_ref, so, ps)
+            acc = _dot(xs, D, (((1,), (1,))), dtype)
+            _accum_seg(y_ref, to, pt, acc)
 
-    # trans: the transposed product exchanges the two terms
-    if not swapped:
-        main_term()
-        if sym:
-            @pl.when(mir[i] != 0)
-            def _():
-                mirror_term()
-    else:
-        mirror_term()
-        if sym:
-            @pl.when(mir[i] != 0)
-            def _():
-                main_term()
+        def mirror_term():
+            # y[s] += D^T @ x[t]
+            xt = _load_seg(x_ref, to, pt)
+            acc = _dot(xt, D, (((1,), (0,))), dtype)
+            _accum_seg(y_ref, so, ps, acc)
+
+        # trans: the transposed product exchanges the two terms
+        if not swapped:
+            main_term()
+            if sym:
+                @pl.when(mir[i * G + j] != 0)
+                def _():
+                    mirror_term()
+        else:
+            mirror_term()
+            if sym:
+                @pl.when(mir[i * G + j] != 0)
+                def _():
+                    main_term()
+        return carry
+
+    jax.lax.fori_loop(0, G, body, 0)
 
 
-def _lr_bucket_kernel(swapped: bool, sym: bool, pt: int, r: int, ps: int,
-                      t_off, s_off, mir, U_ref, V_ref, x_ref, y_ref):
-    """One grid step = one low-rank block: two-stage MXU contraction.
+def _lr_bucket_kernel(swapped: bool, sym: bool, G: int, pt: int, r: int,
+                      ps: int, t_off, s_off, mir, U_ref, V_ref, x_ref, y_ref):
+    """One grid step = G low-rank blocks: two-stage MXU contractions.
     Factors are rank-major: Ut (r, pt), V (r, ps) — the rank axis is
     second-minor so small rank classes don't pad to 128 lanes."""
     i = pl.program_id(0)
@@ -113,48 +132,75 @@ def _lr_bucket_kernel(swapped: bool, sym: bool, pt: int, r: int, ps: int,
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
-    U = U_ref[0]  # (r, pt)
-    V = V_ref[0]  # (r, ps)
     dtype = y_ref.dtype
-    to, so = t_off[i], s_off[i]
 
-    def main_term():
-        xs = _load_seg(x_ref, so, ps)
-        w = _dot(xs, V, (((1,), (1,))), dtype)  # (k, r)
-        acc = _dot(w, U, (((1,), (0,))), dtype)  # (k, pt)
-        _accum_seg(y_ref, to, pt, acc)
+    def body(j, carry):
+        U = U_ref[j]  # (r, pt)
+        V = V_ref[j]  # (r, ps)
+        to, so = t_off[i * G + j], s_off[i * G + j]
 
-    def mirror_term():
-        xt = _load_seg(x_ref, to, pt)
-        w = _dot(xt, U, (((1,), (1,))), dtype)  # (k, r)
-        acc = _dot(w, V, (((1,), (0,))), dtype)  # (k, ps)
-        _accum_seg(y_ref, so, ps, acc)
+        def main_term():
+            xs = _load_seg(x_ref, so, ps)
+            w = _dot(xs, V, (((1,), (1,))), dtype)  # (k, r)
+            acc = _dot(w, U, (((1,), (0,))), dtype)  # (k, pt)
+            _accum_seg(y_ref, to, pt, acc)
 
-    if not swapped:
-        main_term()
-        if sym:
-            @pl.when(mir[i] != 0)
-            def _():
-                mirror_term()
-    else:
-        mirror_term()
-        if sym:
-            @pl.when(mir[i] != 0)
-            def _():
-                main_term()
+        def mirror_term():
+            xt = _load_seg(x_ref, to, pt)
+            w = _dot(xt, U, (((1,), (1,))), dtype)  # (k, r)
+            acc = _dot(w, V, (((1,), (0,))), dtype)  # (k, ps)
+            _accum_seg(y_ref, so, ps, acc)
+
+        if not swapped:
+            main_term()
+            if sym:
+                @pl.when(mir[i * G + j] != 0)
+                def _():
+                    mirror_term()
+        else:
+            mirror_term()
+            if sym:
+                @pl.when(mir[i * G + j] != 0)
+                def _():
+                    main_term()
+        return carry
+
+    jax.lax.fori_loop(0, G, body, 0)
 
 
-def _bucket_call(kernel, blocks, xT, t_off, s_off, mir, interpret):
-    """Launch one bucket's kernel: blocks is a tuple of (nb, ...) arrays."""
+# target bytes of block data per grid step: large enough to amortize the
+# per-step pipeline overhead, small enough to double-buffer in VMEM
+_STEP_BYTES = 1 << 18
+
+
+def _group_size(per_block_bytes: int, nb: int) -> int:
+    G = max(1, _STEP_BYTES // max(per_block_bytes, 1))
+    return int(min(G, 256, nb))
+
+
+def _bucket_call(kernel_fn, static_args, blocks, xT, t_off, s_off, mir,
+                 G: int, interpret):
+    """Launch one bucket's kernel over ceil(nb/G) grid steps of G blocks.
+    Padding blocks (zero data, offset 0, mirror 0) contribute nothing."""
     nb = t_off.shape[0]
+    nb_pad = -(-nb // G) * G
+    if nb_pad != nb:
+        pad = nb_pad - nb
+        blocks = tuple(jnp.pad(b, ((0, pad),) + ((0, 0),) * (b.ndim - 1))
+                       for b in blocks)
+        t_off = jnp.pad(t_off, (0, pad))
+        s_off = jnp.pad(s_off, (0, pad))
+        mir = jnp.pad(mir, (0, pad))
     k, L = xT.shape
+    kernel = partial(kernel_fn, *static_args)
     in_specs = [
-        pl.BlockSpec((1,) + tuple(b.shape[1:]), lambda i, *_: (i,) + (0,) * (b.ndim - 1))
+        pl.BlockSpec((G,) + tuple(b.shape[1:]),
+                     lambda i, *_: (i,) + (0,) * (b.ndim - 1))
         for b in blocks
     ] + [pl.BlockSpec((k, L), lambda i, *_: (0, 0))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nb,),
+        grid=(nb_pad // G,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((k, L), lambda i, *_: (0, 0)),
     )
@@ -178,11 +224,13 @@ def pallas_supported(data, L: int, k: int, x_dtype) -> bool:
     vec_bytes = 2 * k * max(L, 128) * itemsize
     blk_bytes = 0
     for d in data["dense"]:
-        blk_bytes = max(blk_bytes, d[0].shape[1] * d[0].shape[2] * itemsize)
+        nb, pt, ps = d[0].shape
+        per = pt * ps * itemsize
+        blk_bytes = max(blk_bytes, _group_size(per, nb) * per)
     for u, v, *_ in data["lr"]:
-        blk_bytes = max(blk_bytes,
-                        (u.shape[1] * u.shape[2] + v.shape[1] * v.shape[2])
-                        * itemsize)
+        nb = u.shape[0]
+        per = (u.shape[1] * u.shape[2] + v.shape[1] * v.shape[2]) * itemsize
+        blk_bytes = max(blk_bytes, _group_size(per, nb) * per)
     return vec_bytes + 4 * blk_bytes < _VMEM_BUDGET
 
 
@@ -199,17 +247,21 @@ def apply_hmatrix_pallas(data, x_pad, ny_pad: int, trans: str, sym: str,
     xT = jnp.swapaxes(x_pad, 0, 1)  # (k, L): minor dim dense across lanes
     yT = jnp.zeros_like(xT)
     for D, t_off, s_off, mirror in data["dense"]:
-        pt, ps = D.shape[1], D.shape[2]
-        kern = partial(_dense_bucket_kernel, swapped, symmetric, pt, ps)
-        yT = yT + _bucket_call(kern, (D,), xT,
+        nb, pt, ps = D.shape
+        G = _group_size(pt * ps * D.dtype.itemsize, nb)
+        yT = yT + _bucket_call(_dense_bucket_kernel,
+                               (swapped, symmetric, G, pt, ps), (D,), xT,
                                t_off.astype(jnp.int32),
                                s_off.astype(jnp.int32),
-                               mirror.astype(jnp.int32), interpret)
+                               mirror.astype(jnp.int32), G, interpret)
     for U, V, t_off, s_off, mirror in data["lr"]:
-        r, pt, ps = U.shape[1], U.shape[2], V.shape[2]
-        kern = partial(_lr_bucket_kernel, swapped, symmetric, pt, r, ps)
-        yT = yT + _bucket_call(kern, (U, V), xT,
+        nb, r, pt = U.shape
+        ps = V.shape[2]
+        G = _group_size(r * (pt + ps) * U.dtype.itemsize, nb)
+        yT = yT + _bucket_call(_lr_bucket_kernel,
+                               (swapped, symmetric, G, pt, r, ps), (U, V),
+                               xT,
                                t_off.astype(jnp.int32),
                                s_off.astype(jnp.int32),
-                               mirror.astype(jnp.int32), interpret)
+                               mirror.astype(jnp.int32), G, interpret)
     return jnp.swapaxes(yT, 0, 1)

@@ -212,6 +212,27 @@ class DistributedOperator:
         return apply
 
     # ------------------------------------------------------------------
+    def get_distributed_information(self) -> dict:
+        """Stats reduced over every partition's H-matrix-backed local
+        operators — the SPMD analog of the reference's MPI-reduced
+        `HMatrix.get_distributed_information(comm)`
+        (src/htool/hmatrix/hmatrix.hpp:52-54), where each rank contributes
+        its local block row."""
+        from ..hmatrix.hmatrix import reduce_hmatrix_information
+
+        hmats = []
+        for p in range(self.n_partitions):
+            ops = list(self._global_to_local[p])
+            if self._local_to_local[p] is not None:
+                ops.append(self._local_to_local[p])
+            hmats.extend(op.hmatrix for op in ops if hasattr(op, "hmatrix"))
+        if not hmats:
+            raise ValueError("no H-matrix-backed local operators registered")
+        info = reduce_hmatrix_information(hmats)
+        info["Number_of_partitions"] = str(self.n_partitions)
+        return info
+
+    # ------------------------------------------------------------------
     def internal_sub_vector_product_global_to_local(self, x_window, offset,
                                                     partition: int = 0):
         """Partition's target segment of A_internal @ x where x is zero

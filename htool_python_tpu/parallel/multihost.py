@@ -81,8 +81,17 @@ def make_hybrid_mesh(per_host: int | None = None, axis_dcn: str = "host",
     if n_hosts == 1:
         devs = np.array(jax.devices()[:per_host]).reshape(1, per_host)
     else:
-        devs = mesh_utils.create_hybrid_device_mesh(
-            (1, per_host), (n_hosts, 1))
+        try:
+            # TPU pods: topology-aware layout (needs slice metadata)
+            devs = mesh_utils.create_hybrid_device_mesh(
+                (1, per_host), (n_hosts, 1))
+        except ValueError:
+            # CPU multi-process (the dryrun) and hosts without slice
+            # metadata: process-major reshape gives the same host-contiguous
+            # layout
+            devs = np.array(sorted(jax.devices(),
+                                   key=lambda d: (d.process_index, d.id)))
+            devs = devs.reshape(n_hosts, per_host)
     return Mesh(devs, (axis_dcn, axis_ici))
 
 

@@ -25,9 +25,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.matvec import apply_hmatrix_padded
-
-
 def make_mesh(n_devices: int | None = None, axis: str = "p") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
@@ -119,6 +116,15 @@ def _stack_partition_data(hmatrices, n_pad_x, t_max):
     return {"dense": dense_stacked, "lr": lr_stacked}
 
 
+def _gather_seg(x_pad, off, width):
+    return x_pad[off[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]]
+
+
+def _scatter_seg(y, off, vals):
+    idx = off[:, None] + jnp.arange(vals.shape[1], dtype=jnp.int32)[None, :]
+    return y.at[idx].add(vals)
+
+
 def _local_block_row_apply_trans(data, x_loc_pad, n_pad_x, sym, trans):
     """One partition's transposed block-row product: its LOCAL target
     segment x_loc (padded) -> a GLOBAL source-length contribution (to be
@@ -126,78 +132,87 @@ def _local_block_row_apply_trans(data, x_loc_pad, n_pad_x, sym, trans):
 
     Stored main block B at (t_loc, s_glob) contributes B^(trans) x[t_loc]
     into y[s_glob]; a mirror block sigma(B) at (msc, mg) contributes
-    sigma(B)^(trans) x[msc] into y[mg]."""
-    y = jnp.zeros((n_pad_x, x_loc_pad.shape[1]), dtype=x_loc_pad.dtype)
-    iota = lambda n: jnp.arange(n, dtype=jnp.int32)
+    sigma(B)^(trans) x[msc] into y[mg].  All per-bucket math goes through
+    the block-term primitives in ops/matvec.py (single source of truth for
+    the rank-major low-rank layout)."""
+    from ..ops.matvec import (dense_block_term, dense_block_term_t,
+                              lowrank_block_term, lowrank_block_term_t)
+
+    dt = x_loc_pad.dtype
+    y = jnp.zeros((n_pad_x, x_loc_pad.shape[1]), dtype=dt)
     conj_main = trans == "C"
     # sigma(B)^(trans): conjugate iff exactly one of {trans=='C', sym=='H'}
     conj_mirror = (trans == "C") != (sym == "H")
     for D, t_off, s_off, mir, mg, msc in data["dense"]:
         pt, ps = D.shape[1], D.shape[2]
-        Dm = jnp.conj(D) if conj_main else D
-        xg = x_loc_pad[t_off[:, None] + iota(pt)[None, :]]
-        yb = jnp.einsum("nij,nik->njk", Dm, xg)
-        y = y.at[s_off[:, None] + iota(ps)[None, :]].add(yb)
+        xg = _gather_seg(x_loc_pad, t_off, pt)
+        y = _scatter_seg(y, s_off,
+                         dense_block_term_t(D, xg, conj=conj_main, dtype=dt))
         if sym != "N":
-            m = mir.astype(y.dtype)[:, None, None]
-            Dmir = jnp.conj(D) if conj_mirror else D
-            xg = x_loc_pad[msc[:, None] + iota(ps)[None, :]]
-            yb = jnp.einsum("nij,njk->nik", Dmir, xg) * m
-            y = y.at[mg[:, None] + iota(pt)[None, :]].add(yb)
+            m = mir.astype(dt)[:, None, None]
+            xg = _gather_seg(x_loc_pad, msc, ps)
+            y = _scatter_seg(y, mg,
+                             dense_block_term(D, xg, conj=conj_mirror,
+                                              dtype=dt) * m)
     for Ut, V, t_off, s_off, mir, mg, msc in data["lr"]:
         pt, ps = Ut.shape[2], V.shape[2]
-        Um = jnp.conj(Ut) if conj_main else Ut
-        Vm = jnp.conj(V) if conj_main else V
-        xg = x_loc_pad[t_off[:, None] + iota(pt)[None, :]]
-        w = jnp.einsum("nri,nik->nrk", Um, xg)
-        yb = jnp.einsum("nrj,nrk->njk", Vm, w)
-        y = y.at[s_off[:, None] + iota(ps)[None, :]].add(yb)
+        xg = _gather_seg(x_loc_pad, t_off, pt)
+        y = _scatter_seg(y, s_off,
+                         lowrank_block_term_t(Ut, V, xg, conj=conj_main,
+                                              dtype=dt))
         if sym != "N":
-            m = mir.astype(y.dtype)[:, None, None]
-            Umir = jnp.conj(Ut) if conj_mirror else Ut
-            Vmir = jnp.conj(V) if conj_mirror else V
-            xg = x_loc_pad[msc[:, None] + iota(ps)[None, :]]
-            w = jnp.einsum("nrj,njk->nrk", Vmir, xg)
-            yb = jnp.einsum("nri,nrk->nik", Umir, w) * m
-            y = y.at[mg[:, None] + iota(pt)[None, :]].add(yb)
+            m = mir.astype(dt)[:, None, None]
+            xg = _gather_seg(x_loc_pad, msc, ps)
+            y = _scatter_seg(y, mg,
+                             lowrank_block_term(Ut, V, xg, conj=conj_mirror,
+                                                dtype=dt) * m)
     return y
 
 
 def _local_block_row_apply(data, x_pad, t_pad_len, sym="N"):
     """One partition's block-row product: x replicated -> local y segment.
     Mirror blocks (symmetric partition-diagonal triangle) add their
-    (conj-)transposed contribution at partition-local offsets."""
-    y = jnp.zeros((t_pad_len, x_pad.shape[1]), dtype=x_pad.dtype)
-    iota = lambda n: jnp.arange(n, dtype=jnp.int32)
-    conj = (lambda a: jnp.conj(a)) if sym == "H" else (lambda a: a)
+    (conj-)transposed contribution at partition-local offsets.  Per-bucket
+    math goes through the ops/matvec.py block-term primitives."""
+    from ..ops.matvec import (dense_block_term, dense_block_term_t,
+                              lowrank_block_term, lowrank_block_term_t)
+
+    dt = x_pad.dtype
+    y = jnp.zeros((t_pad_len, x_pad.shape[1]), dtype=dt)
+    conj_mirror = sym == "H"
     for D, t_off, s_off, mir, mg, msc in data["dense"]:
         pt, ps = D.shape[1], D.shape[2]
-        xg = x_pad[s_off[:, None] + iota(ps)[None, :]]
-        yb = jnp.einsum("nij,njk->nik", D, xg)
-        y = y.at[t_off[:, None] + iota(pt)[None, :]].add(yb)
+        xg = _gather_seg(x_pad, s_off, ps)
+        y = _scatter_seg(y, t_off, dense_block_term(D, xg, dtype=dt))
         if sym != "N":
-            m = mir.astype(y.dtype)[:, None, None]
-            xg = x_pad[mg[:, None] + iota(pt)[None, :]]
-            yb = jnp.einsum("nij,nik->njk", conj(D), xg) * m
-            y = y.at[msc[:, None] + iota(ps)[None, :]].add(yb)
-    for U, V, t_off, s_off, mir, mg, msc in data["lr"]:
-        pt, ps = U.shape[1], V.shape[2]
-        xg = x_pad[s_off[:, None] + iota(ps)[None, :]]
-        w = jnp.einsum("nrj,njk->nrk", V, xg)
-        yb = jnp.einsum("nir,nrk->nik", U, w)
-        y = y.at[t_off[:, None] + iota(pt)[None, :]].add(yb)
+            m = mir.astype(dt)[:, None, None]
+            xg = _gather_seg(x_pad, mg, pt)
+            y = _scatter_seg(y, msc,
+                             dense_block_term_t(D, xg, conj=conj_mirror,
+                                                dtype=dt) * m)
+    for Ut, V, t_off, s_off, mir, mg, msc in data["lr"]:
+        pt, ps = Ut.shape[2], V.shape[2]
+        xg = _gather_seg(x_pad, s_off, ps)
+        y = _scatter_seg(y, t_off, lowrank_block_term(Ut, V, xg, dtype=dt))
         if sym != "N":
-            m = mir.astype(y.dtype)[:, None, None]
-            xg = x_pad[mg[:, None] + iota(pt)[None, :]]
-            w = jnp.einsum("nir,nik->nrk", conj(U), xg)
-            yb = jnp.einsum("nrj,nrk->njk", conj(V), w) * m
-            y = y.at[msc[:, None] + iota(ps)[None, :]].add(yb)
+            m = mir.astype(dt)[:, None, None]
+            xg = _gather_seg(x_pad, mg, pt)
+            y = _scatter_seg(y, msc,
+                             lowrank_block_term_t(Ut, V, xg,
+                                                  conj=conj_mirror,
+                                                  dtype=dt) * m)
     return y
 
 
 class ShardedDistributedOperator:
     """Mesh-sharded global-to-global operator from per-partition block-row
-    HMatrices (as produced by DefaultApproximationBuilder)."""
+    HMatrices (as produced by DefaultApproximationBuilder).
+
+    Accepts a 1-D partition mesh or a multi-axis mesh (e.g. the 2-D
+    hosts x per-host-devices mesh from parallel/multihost.make_hybrid_mesh)
+    — the partition axis is sharded over ALL mesh axes in order, so on a
+    hybrid mesh consecutive partitions stay on one host and the product's
+    collectives cross DCN only at host boundaries."""
 
     def __init__(self, hmatrices, target_cluster, source_cluster,
                  mesh: Mesh | None = None):
@@ -210,6 +225,7 @@ class ShardedDistributedOperator:
             raise ValueError(
                 f"mesh has {self.mesh.devices.size} devices but there are "
                 f"{Pn} partitions")
+        self.axes = tuple(self.mesh.axis_names)
         self.n_partitions = Pn
         nt, ns = target_cluster.get_size(), source_cluster.get_size()
         self.shape = (nt, ns)
@@ -229,7 +245,7 @@ class ShardedDistributedOperator:
         self._jitted = {}
 
     def _shard_data(self):
-        spec_leaf = NamedSharding(self.mesh, P("p"))
+        spec_leaf = NamedSharding(self.mesh, P(self.axes))
         self._data = jax.tree.map(
             lambda a: jax.device_put(a, spec_leaf), self._data)
         perm_s = self.source_cluster.get_permutation()
@@ -262,11 +278,12 @@ class ShardedDistributedOperator:
         perm_s, perm_t = self._perm_s, self._perm_t
         inv_t, inv_s = self._inv_perm_t, self._inv_perm_s
         op_dtype = self.hmatrices[0].dtype
+        axes = self.axes
 
         if trans == "N":
             @partial(jax.shard_map, mesh=mesh,
-                     in_specs=(P("p"), P(None, None)),
-                     out_specs=P("p", None))
+                     in_specs=(P(axes), P(None, None)),
+                     out_specs=P(axes, None))
             def sharded_apply(data, x_pad):
                 data = jax.tree.map(lambda a: a[0], data)
                 y_local = _local_block_row_apply(data, x_pad, t_pad_len, sym)
@@ -282,13 +299,13 @@ class ShardedDistributedOperator:
                 return y_int[inv_t]
         else:
             @partial(jax.shard_map, mesh=mesh,
-                     in_specs=(P("p"), P("p", None, None)),
+                     in_specs=(P(axes), P(axes, None, None)),
                      out_specs=P(None, None))
             def sharded_apply_t(data, x_parts):
                 data = jax.tree.map(lambda a: a[0], data)
                 y = _local_block_row_apply_trans(data, x_parts[0], n_pad_x,
                                                  sym, trans)
-                return jax.lax.psum(y, "p")
+                return jax.lax.psum(y, axes)
 
             def global_apply(data, x2d):
                 dtype = jnp.result_type(x2d.dtype, op_dtype)
@@ -306,13 +323,24 @@ class ShardedDistributedOperator:
         return self._jitted[key]
 
     def build_device_apply(self, trans: str = "N"):
-        """Traceable x2d (n, k) -> y2d (n, k) closure over the sharded data
-        (for the device-resident Krylov loop)."""
+        """Traceable x2d (n, k) -> y2d (n, k) application for the
+        device-resident Krylov loop.
+
+        The sharded bucket data is exposed via the `operands` attribute
+        (solvers/krylov.py _bind_operator protocol) so outer jits pass it
+        as an ARGUMENT: under multi-process `jax.distributed` the global
+        arrays span non-addressable devices and cannot be jit closure
+        constants.  Single-argument calls `apply(x2d)` still work."""
         data = self._data
 
-        def apply(x2d):
-            return self._get_fn(x2d.shape[1], trans)(data, x2d)
+        def apply(*args):
+            if len(args) == 1:
+                ops, x2d = data, args[0]
+            else:
+                ops, x2d = args
+            return self._get_fn(x2d.shape[1], trans)(ops, x2d)
 
+        apply.operands = data
         return apply
 
     def matvec_global(self, x, trans: str = "N"):
@@ -343,7 +371,8 @@ def sharded_block_solve(mesh: Mesh, lu, piv, idx_pad, weights, n: int):
     """
     import jax.scipy.linalg as jsl
 
-    spec = NamedSharding(mesh, P("p"))
+    axes = tuple(mesh.axis_names)
+    spec = NamedSharding(mesh, P(axes))
     lu = jax.device_put(lu, spec)
     piv = jax.device_put(piv, spec)
     idx_pad = jax.device_put(jnp.asarray(idx_pad), spec)
@@ -351,21 +380,28 @@ def sharded_block_solve(mesh: Mesh, lu, piv, idx_pad, weights, n: int):
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("p"), P("p"), P("p"), P("p"), P(None, None)),
+             in_specs=(P(axes), P(axes), P(axes), P(axes), P(None, None)),
              out_specs=P(None, None))
     def apply(lu_l, piv_l, idx_l, w_l, r_ext):
         X = r_ext[idx_l]  # (pp, m, k)
         Z = jsl.lu_solve((lu_l, piv_l), X) * w_l[:, :, None]
         out = jnp.zeros_like(r_ext)
         out = out.at[idx_l].add(Z)
-        return jax.lax.psum(out, "p")
+        return jax.lax.psum(out, axes)
 
-    def device_apply(r2d):
+    def device_apply(*args):
         """Traceable (n, k) -> (n, k) device application (for the
-        device-resident Krylov loop)."""
+        device-resident Krylov loop).  Factor state is exposed via
+        `operands` (see ShardedDistributedOperator.build_device_apply)."""
+        if len(args) == 1:
+            (lu_l, piv_l, idx_l, w_l), r2d = device_apply.operands, args[0]
+        else:
+            (lu_l, piv_l, idx_l, w_l), r2d = args
         r_ext = jnp.concatenate(
             [r2d, jnp.zeros((1, r2d.shape[1]), dtype=r2d.dtype)])
-        return apply(lu, piv, idx_pad, weights, r_ext)[:n]
+        return apply(lu_l, piv_l, idx_l, w_l, r_ext)[:n]
+
+    device_apply.operands = (lu, piv, idx_pad, weights)
 
     def precond(r):
         device_io = isinstance(r, jnp.ndarray)

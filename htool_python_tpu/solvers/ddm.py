@@ -216,11 +216,20 @@ class DDMSolver:
         max_it = int(opts.get("max_it", 100))
         restart = int(opts.get("gmres_restart", 40))
         verbosity = int(opts.get("verbosity", 0) or 0)
-        if opts.get("variant", "right") not in ("right", True):
+        variant = opts.get("variant", "right")
+        if variant in (True, None):
+            variant = "right"
+        if variant not in ("right", "left"):
             from ..utils.logger import get_logger
             get_logger().warning(
-                "only the right-preconditioned variant is implemented; "
-                "'-hpddm_variant %s' runs as 'right'", opts["variant"])
+                "unknown '-hpddm_variant %s'; running as 'right'", variant)
+            variant = "right"
+        # CG is symmetrically preconditioned — variant is irrelevant there.
+        # Left-preconditioned GMRES (reference: HPDDM '-hpddm_variant left',
+        # tests/test_ddm_solver.py:548-558) solves M^{-1}A x = M^{-1}b with
+        # no inner preconditioner; tol then applies to the PRECONDITIONED
+        # residual (HPDDM semantics).
+        use_left = variant == "left" and method != "cg"
 
         b_arr = np.asarray(b)
         multi = b_arr.ndim == 2
@@ -234,12 +243,21 @@ class DDMSolver:
             dtype = np.result_type(A._result_dtype(b_arr.reshape(len(b_arr),
                                                                  -1)),
                                    *sub_dtypes)
+            b_solve = b_arr
+            if use_left and M_fn is not None:
+                A_base, M_left_fn = A_fn, M_fn
+                A_fn = lambda v: M_left_fn(A_base(v))
+                b2 = jnp.asarray(b_arr.astype(dtype, copy=False))
+                b_solve = M_fn(b2[:, None] if b2.ndim == 1 else b2)
+                if b_arr.ndim == 1:
+                    b_solve = b_solve[:, 0]
+                M_fn = None
             if method == "cg":
-                xs, info = cg_device(A_fn, b_arr, M_fn=M_fn, tol=tol,
+                xs, info = cg_device(A_fn, b_solve, M_fn=M_fn, tol=tol,
                                      max_it=max_it, verbosity=verbosity,
                                      dtype=dtype)
             else:
-                xs, info = gmres_device(A_fn, b_arr, M_fn=M_fn, tol=tol,
+                xs, info = gmres_device(A_fn, b_solve, M_fn=M_fn, tol=tol,
                                         max_it=max_it, restart=restart,
                                         verbosity=verbosity, dtype=dtype)
             x[...] = np.asarray(xs).astype(x.dtype, copy=False)
@@ -248,10 +266,18 @@ class DDMSolver:
         else:
             op = lambda v: A.matvec_global(v)
             M = self._preconditioner()
+            if use_left and M is not None:
+                op_base, M_left = op, M
+                op = lambda v: M_left(op_base(v))
+                M = None
+            else:
+                M_left = None
             cols = b_arr.shape[1] if multi else 1
             nits, residuals = [], []
             for j in range(cols):
                 bj = b_arr[:, j] if multi else b_arr
+                if M_left is not None:
+                    bj = np.asarray(M_left(bj))
                 if method == "cg":
                     xj, info = cg(op, bj, M=M, tol=tol, max_it=max_it,
                                   verbosity=verbosity)

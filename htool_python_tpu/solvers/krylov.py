@@ -45,6 +45,24 @@ def _noop(x):
     return x
 
 
+def _bind_operator(fn):
+    """Normalize an operator for the jitted device solvers.
+
+    A plain callable x -> y is closed over by the cycle jit; that is fine
+    single-process, but a MULTI-PROCESS global array (sharded over
+    non-addressable devices) cannot be a jit closure constant — jax
+    requires it as an argument.  Operators that carry such state declare
+    it via an `operands` attribute and accept (operands, x).
+
+    Returns (call(ops, x), ops)."""
+    if fn is None:
+        return None, ()
+    ops = getattr(fn, "operands", None)
+    if ops is None:
+        return (lambda _o, x: fn(x)), ()
+    return (lambda o, x: fn(o, x)), ops
+
+
 def _make_gmres_cycle(A_fn, M_fn, m: int, max_it: int):
     """Build the jitted restart-cycle: m inner iterations with per-column
     active masking.  State layout (k = number of RHS columns):
@@ -57,10 +75,13 @@ def _make_gmres_cycle(A_fn, M_fn, m: int, max_it: int):
     import jax.numpy as jnp
     import jax.scipy.linalg as jsl
 
-    Mi = M_fn if M_fn is not None else _noop
+    A_call, _ = _bind_operator(A_fn)
+    M_call, _ = _bind_operator(M_fn if M_fn is not None else _noop)
 
     @jax.jit
-    def cycle(x, b, bnorm, conv_in, niter_in, it_start, tol):
+    def cycle(a_ops, m_ops, x, b, bnorm, conv_in, niter_in, it_start, tol):
+        A_fn = lambda v: A_call(a_ops, v)
+        Mi = lambda v: M_call(m_ops, v)
         n, k = x.shape
         dtype = x.dtype
         rdtype = jnp.zeros((), dtype).real.dtype
@@ -77,13 +98,16 @@ def _make_gmres_cycle(A_fn, M_fn, m: int, max_it: int):
         sn = jnp.zeros((m, k), dtype=dtype)
         g = jnp.zeros((m + 1, k), dtype=dtype)
         g = g.at[0].set(jnp.where(conv0, 0.0, beta.astype(dtype)))
-        res_hist = jnp.zeros((m, k), dtype=rdtype)
+        # NaN-init: rows for iterations that never ran stay all-NaN so the
+        # verbose filter skips them (instead of printing spurious 0.0 lines)
+        res_hist = jnp.full((m, k), jnp.nan, dtype=rdtype)
+        brk0 = jnp.zeros((k,), dtype=bool)
 
         iarange = jnp.arange(m + 1)
 
         def body(carry):
-            j, V, H, cs, sn, g, conv, niter, res_hist = carry
-            active = (~conv) & (it_start + j < max_it)  # (k,)
+            j, V, H, cs, sn, g, conv, brk, niter, res_hist = carry
+            active = (~conv) & (~brk) & (it_start + j < max_it)  # (k,)
             am = active[None, :]
             w = A_fn(Mi(V[j]))  # (n, k)
             # CGS2: classical Gram-Schmidt with one reorthogonalization —
@@ -138,19 +162,22 @@ def _make_gmres_cycle(A_fn, M_fn, m: int, max_it: int):
             res_hist = res_hist.at[j].set(jnp.where(active, res, jnp.nan))
             niter = niter + active.astype(niter.dtype)
             conv = conv | (active & (res <= tol))
-            # happy breakdown without convergence (pathological): freeze too
-            conv = conv | (active & ~grow)
-            return j + 1, V, H, cs, sn, g, conv, niter, res_hist
+            # breakdown without convergence (orthogonality loss / stagnant
+            # basis): stop THIS cycle for the column but do NOT flag it
+            # converged — the caller restarts it from the updated x with a
+            # fresh residual next cycle (brk resets every cycle)
+            brk = brk | (active & ~grow & ~conv)
+            return j + 1, V, H, cs, sn, g, conv, brk, niter, res_hist
 
         def cond(carry):
-            j, V, H, cs, sn, g, conv, niter, res_hist = carry
+            j, V, H, cs, sn, g, conv, brk, niter, res_hist = carry
             # early exit once every column is converged (or out of budget):
             # masked no-op iterations would still pay full operator applies
-            return (j < m) & ~jnp.all(conv | (it_start + j >= max_it))
+            return (j < m) & ~jnp.all(conv | brk | (it_start + j >= max_it))
 
-        carry = (jnp.zeros((), jnp.int32), V, H, cs, sn, g, conv0, niter_in,
-                 res_hist)
-        _, V, H, cs, sn, g, conv, niter, res_hist = jax.lax.while_loop(
+        carry = (jnp.zeros((), jnp.int32), V, H, cs, sn, g, conv0, brk0,
+                 niter_in, res_hist)
+        _, V, H, cs, sn, g, conv, brk, niter, res_hist = jax.lax.while_loop(
             cond, body, carry)
         # batched back-substitution: columns that never ran keep identity
         # diagonal + zero rhs => zero update.  g[j_done] holds the
@@ -187,6 +214,8 @@ def gmres_device(A_fn, b, M_fn=None, tol=1e-6, max_it=100, restart=40,
     bnorm = _cols_norm(b2)
     restart = max(1, min(int(restart), int(max_it)))
     cycle = _make_gmres_cycle(A_fn, M_fn, restart, int(max_it))
+    A_call, a_ops = _bind_operator(A_fn)
+    _, m_ops = _bind_operator(M_fn if M_fn is not None else _noop)
 
     x = jnp.zeros_like(b2)
     conv = jnp.zeros((k,), dtype=bool)
@@ -194,7 +223,8 @@ def gmres_device(A_fn, b, M_fn=None, tol=1e-6, max_it=100, restart=40,
     tol_arr = jnp.asarray(tol, dtype=bnorm.dtype)
     total = 0
     while total < max_it:
-        x, conv, niter, res_hist = cycle(x, b2, bnorm, conv, niter,
+        x, conv, niter, res_hist = cycle(a_ops, m_ops, x, b2, bnorm, conv,
+                                         niter,
                                          jnp.asarray(total, jnp.int32),
                                          tol_arr)
         if verbosity:
@@ -209,7 +239,7 @@ def gmres_device(A_fn, b, M_fn=None, tol=1e-6, max_it=100, restart=40,
         total += restart
         if bool(jnp.all(conv)):
             break
-    r = b2 - A_fn(x)
+    r = b2 - A_call(a_ops, x)
     res = np.asarray(_cols_norm(r) / np.where(np.asarray(bnorm) > 0,
                                               np.asarray(bnorm), 1.0))
     info = {"niter": np.asarray(niter), "residual": res,
@@ -229,12 +259,15 @@ def cg_device(A_fn, b, M_fn=None, tol=1e-6, max_it=100, verbosity=0,
     b2 = b[:, None] if squeeze else b
     if dtype is not None:
         b2 = b2.astype(dtype)
-    Mi = M_fn if M_fn is not None else _noop
+    A_call, a_ops = _bind_operator(A_fn)
+    M_call, m_ops = _bind_operator(M_fn if M_fn is not None else _noop)
     bnorm = _cols_norm(b2)
     tol_arr = jnp.asarray(tol, dtype=bnorm.dtype)
 
     @jax.jit
-    def run(b2, bnorm):
+    def run(a_ops, m_ops, b2, bnorm):
+        A_fn = lambda v: A_call(a_ops, v)
+        Mi = lambda v: M_call(m_ops, v)
         x0 = jnp.zeros_like(b2)
         r0 = b2 - A_fn(x0)
         z0 = Mi(r0)
@@ -271,8 +304,8 @@ def cg_device(A_fn, b, M_fn=None, tol=1e-6, max_it=100, verbosity=0,
                                (x0, r0, z0, p0, rz0, conv0, it0, niter0))
         return c[0], c[5], c[7]
 
-    x, conv, niter = run(b2, bnorm)
-    r = b2 - A_fn(x)
+    x, conv, niter = run(a_ops, m_ops, b2, bnorm)
+    r = b2 - A_call(a_ops, x)
     res = np.asarray(_cols_norm(r) / np.where(np.asarray(bnorm) > 0,
                                               np.asarray(bnorm), 1.0))
     if verbosity:
@@ -366,8 +399,10 @@ def gmres(A, b, x0=None, M=None, tol=1e-6, max_it=100, restart=40,
         for i in range(j_done - 1, -1, -1):
             y[i] = (g[i] - H[i, i + 1:j_done] @ y[i + 1:]) / H[i, i]
         x = x + np.asarray(Mi(V[:j_done].T @ y))
-        if breakdown:
-            break
+        # breakdown without convergence (orthogonality loss): restart from
+        # the updated x with a fresh residual rather than giving up — the
+        # loop stays bounded because every inner pass advances total_it.
+        # (A *happy* breakdown exits via the residual check at loop top.)
     r = b - np.asarray(A(x))
     res = _norm(r) / bnorm
     return x, {"niter": total_it, "residual": res, "converged": res < tol}

@@ -27,6 +27,18 @@ import pytest  # noqa: E402
 import htool_python_tpu as H  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.  One suite
+    process accumulates thousands of live XLA:CPU executables across
+    modules; past ~85% of the suite the next compile segfaulted inside
+    XLA (observed repeatedly at the same spot).  Clearing per module keeps
+    the live-executable count bounded; the persistent on-disk cache makes
+    re-tracing cheap."""
+    yield
+    jax.clear_caches()
+
+
 class CustomGenerator(H.VirtualGenerator):
     """Brute-force oracle generator: 1/(0.1+|x-y|) kernel in user numbering
     (same contract as the reference's example/define_generators.py)."""

@@ -212,3 +212,46 @@ def test_ddm_solver(load_data_solver, epsilon, eta, mu, ddm_builder,
     print(solver.get_information())
     assert convergence_error < tol
     assert solution_error < epsilon * 10
+
+
+@pytest.mark.parametrize("epsilon", [1e-6])
+@pytest.mark.parametrize("tol", [1e-6])
+@pytest.mark.parametrize("n_partitions", [1, 2, 4])
+@pytest.mark.parametrize("mu,symmetry,schwarz_method",
+                         [(1, "S", "asm"), (1, "N", "ras"), (10, "S", "ras")])
+def test_ddm_solver_left_variant(load_data_solver, epsilon, tol, mu,
+                                 symmetry, schwarz_method, n_partitions):
+    """'-hpddm_variant left' (reference surface:
+    tests/test_ddm_solver.py:548-558): left-preconditioned GMRES solves
+    M^{-1}A x = M^{-1}b; the solution must still meet the TRUE-residual
+    and golden-solution contracts."""
+    [A, x_ref, f, geometry, cluster, neighbors, intersections, symmetry,
+     UPLO, cluster_to_ovr, ovr_to_global, Ki] = load_data_solver
+
+    generator = GeneratorFromMatrix(A)
+    default_approximation = H.DefaultApproximationBuilder(
+        generator, cluster, cluster,
+        H.HMatrixTreeBuilder(epsilon, 10, symmetry, UPLO), None)
+    builder = H.DDMSolverBuilder(
+        default_approximation.distributed_operator,
+        copy.deepcopy(default_approximation.block_diagonal_hmatrix))
+    solver = builder.solver
+    distributed_operator = default_approximation.distributed_operator
+
+    dtype = "complex128" if symmetry != "S" else "float64"
+    x = np.zeros(len(f) if f.ndim == 1 else f.shape, dtype=dtype, order="F")
+    restart = "" if symmetry == "S" else " -hpddm_gmres_restart 200 "
+    solver.set_hpddm_args(
+        "-hpddm_krylov_method gmres" + restart
+        + " -hpddm_schwarz_method " + schwarz_method
+        + " -hpddm_max_it 200 -hpddm_variant left -hpddm_tol " + str(tol))
+    solver.facto_one_level()
+    solver.solve(x, f)
+
+    convergence_error = (np.linalg.norm(
+        (distributed_operator @ x if mu > 1 else distributed_operator * x)
+        - f) / np.linalg.norm(f))
+    xs = x[:, 1] if mu > 1 else x
+    solution_error = np.linalg.norm(xs - x_ref) / np.linalg.norm(x_ref)
+    assert convergence_error < 10 * tol  # tol applies to the M^{-1} residual
+    assert solution_error < epsilon * 10

@@ -87,6 +87,55 @@ def test_hodlr_compression_matches_operator(big_spd_hmatrix):
     assert np.linalg.norm(y_h - y) / np.linalg.norm(y) < 1e-4
 
 
+def test_hodlr_rank_saturation_bounded():
+    """A full-rank off-diagonal operator must hit the sample cap and raise
+    (bounded adaptivity), not peel toward k = m with dense-size batches."""
+    import jax.numpy as jnp
+
+    from htool_python_tpu.ops.hodlr import (HODLRRankSaturationError,
+                                            build_hodlr)
+
+    n = 600
+    rng = np.random.RandomState(11)
+    A = rng.rand(n, n) + n * np.eye(n)  # off-diagonal blocks are full rank
+
+    def apply_fn(x, trans):
+        if trans == "N":
+            return jnp.asarray(A) @ x
+        return jnp.asarray(A).T @ x
+
+    with pytest.raises(HODLRRankSaturationError):
+        build_hodlr(apply_fn, n, np.float64, 1e-12, leaf_size=64,
+                    max_sample_size=32)
+
+
+def test_hodlr_saturation_falls_back_to_dense_lu():
+    """lu_factorization above the HODLR threshold falls back to the dense
+    path (and still solves) when the operator is not HODLR-compressible."""
+    cfg = get_config()
+    saved = (cfg.hodlr_threshold, cfg.hodlr_max_sample_size)
+    cfg.hodlr_threshold, cfg.hodlr_max_sample_size = 256, 16
+    try:
+        n = 500
+        rng = np.random.RandomState(13)
+        A = (rng.rand(n, n) + n * np.eye(n)).astype(np.float64)
+        pts = rng.rand(3, n)
+        cb = H.ClusterTreeBuilder()
+        cb.set_maximal_leaf_size(64)
+        cluster = cb.create_cluster_tree(pts, 2)
+        gen = H.MatrixGenerator(A)
+        hm = H.HMatrixTreeBuilder(1e-10, 10.0, "N", "N").build(
+            gen, cluster, cluster)
+        f = copy.deepcopy(hm)
+        f.lu_factorization()
+        assert f._factorization[0] == "lu"  # dense fallback engaged
+        x_ref = rng.rand(n)
+        x = f.lu_solve("N", hm * x_ref)
+        assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-6
+    finally:
+        cfg.hodlr_threshold, cfg.hodlr_max_sample_size = saved
+
+
 def test_hodlr_small_symmetric_exact():
     """Symmetric-mirrored HODLR on a small dense SPD matrix (oracle check
     against numpy solve)."""

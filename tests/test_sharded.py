@@ -46,6 +46,44 @@ def test_sharded_matvec(n_partitions):
             / np.linalg.norm(Y) < 1e-12)
 
 
+def test_sharded_plan_has_rank_smaller_than_block():
+    """Coverage pin for the low-rank layout: the sharded plan MUST contain
+    low-rank buckets whose rank-class differs from the padded block size,
+    so any layout mismatch between ops/matvec.py (rank-major Ut (nb,r,pt))
+    and the sharded block-row apply crashes or mismatches HERE rather than
+    only for certain accidental plan geometries (the round-2 regression
+    shipped because every tested bucket happened to have r == pt)."""
+    np.random.seed(3)
+    n = 1200
+    pts = np.random.random((3, n))
+    builder = H.ClusterTreeBuilder()
+    builder.set_maximal_leaf_size(64)
+    cluster = builder.create_cluster_tree(pts, 2, size_of_partition=4)
+    generator = CustomGenerator(pts, pts)
+    epsilon = 1e-2
+    approx = H.DefaultApproximationBuilder(
+        generator, cluster, cluster,
+        H.HMatrixTreeBuilder(epsilon, 100.0, "N", "N"), None)
+    mesh = make_mesh(4)
+    sharded = ShardedDistributedOperator(approx.hmatrix, cluster, cluster,
+                                         mesh)
+    # stacked low-rank buckets are (P, nb, r, pt): require one with r != pt
+    shapes = [(U.shape[2], U.shape[3]) for U, *_ in sharded._data["lr"]]
+    assert shapes, "plan produced no low-rank buckets at all"
+    assert any(r != pt for r, pt in shapes), (
+        f"every low-rank bucket has rank-class == padded size ({shapes}); "
+        "the layout-sensitive path is not exercised")
+    x = np.random.rand(n)
+    y = sharded * x
+    y_exact = generator.mat_vec(x)
+    assert np.linalg.norm(y - y_exact) / np.linalg.norm(y_exact) < epsilon
+    yt = sharded.matvec_global(x, trans="T")
+    dense = np.zeros((n, n), order="F")
+    generator.build_submatrix(np.arange(n), np.arange(n), dense)
+    yt_exact = dense.T @ x
+    assert np.linalg.norm(yt - yt_exact) / np.linalg.norm(yt_exact) < epsilon
+
+
 def test_sharded_block_solve():
     np.random.seed(1)
     import jax.numpy as jnp
