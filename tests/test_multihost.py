@@ -21,4 +21,5 @@ def test_multihost_dryrun():
     out = subprocess.run([sys.executable, str(script)], env=env,
                          capture_output=True, text=True, timeout=280)
     assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
-    assert "multihost dryrun ok" in out.stdout
+    assert "multihost dryrun [global] ok" in out.stdout
+    assert "multihost dryrun [hybrid] ok" in out.stdout

@@ -84,6 +84,38 @@ def test_sharded_plan_has_rank_smaller_than_block():
     assert np.linalg.norm(yt - yt_exact) / np.linalg.norm(yt_exact) < epsilon
 
 
+def test_sharded_hybrid_mesh_matvec():
+    """The sharded operator over a 2-D (hosts x per-host) hybrid mesh —
+    the multi-host layout (parallel/multihost.make_hybrid_mesh) — must
+    match the dense oracle exactly like the 1-D mesh."""
+    import jax
+    from jax.sharding import Mesh
+
+    np.random.seed(5)
+    n = 600
+    pts = np.random.random((3, n))
+    builder = H.ClusterTreeBuilder()
+    builder.set_maximal_leaf_size(16)
+    cluster = builder.create_cluster_tree(pts, 2, size_of_partition=8)
+    generator = CustomGenerator(pts, pts)
+    epsilon = 1e-4
+    approx = H.DefaultApproximationBuilder(
+        generator, cluster, cluster,
+        H.HMatrixTreeBuilder(epsilon, 10.0, "N", "N"), None)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("host", "p"))
+    sharded = ShardedDistributedOperator(approx.hmatrix, cluster, cluster,
+                                         mesh)
+    x = np.random.rand(n)
+    y = sharded * x
+    y_exact = generator.mat_vec(x)
+    assert np.linalg.norm(y - y_exact) / np.linalg.norm(y_exact) < epsilon
+    yt = sharded.matvec_global(x, trans="T")
+    dense = generator.dense()
+    assert (np.linalg.norm(yt - dense.T @ x)
+            / np.linalg.norm(dense.T @ x) < epsilon)
+
+
 def test_sharded_block_solve():
     np.random.seed(1)
     import jax.numpy as jnp
