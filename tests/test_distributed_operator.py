@@ -56,6 +56,20 @@ def test_distributed_operator(nb_cols, nb_rhs, epsilon, generator,
         print(local_hmatrices[0].get_distributed_information())
         print(local_hmatrices[0].get_local_information())
         print(local_hmatrices[0].get_tree_parameters())
+        # reduced stats across every partition's block row (the SPMD analog
+        # of the reference's MPI-reduced get_distributed_information,
+        # src/htool/hmatrix/hmatrix.hpp:52-54)
+        info = distributed_operator.get_distributed_information()
+        assert int(info["Number_of_rows"]) == global_target_size
+        assert int(info["Number_of_columns"]) == local_hmatrices[0].shape[1]
+        assert info["Number_of_partitions"] == str(n_partitions)
+        locals_ = [h.get_local_information() for h in local_hmatrices]
+        assert int(info["Number_of_low_rank_blocks"]) == sum(
+            int(li["Number_of_low_rank_blocks"]) for li in locals_)
+        assert int(info["Max_rank"]) == max(
+            int(li["Max_rank"]) for li in locals_)
+        assert int(info["Storage_size_in_bytes"]) == sum(
+            int(li["Storage_size_in_bytes"]) for li in locals_)
     else:
         target_cluster, source_cluster, holder = custom_distributed_operator
         distributed_operator = holder.distributed_operator
