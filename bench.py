@@ -123,18 +123,21 @@ def main():
     # ---- BASELINE stage configs 2-5 (round-2 verdict item 4) ----
     stages = {}
     if os.environ.get("BENCH_STAGES", "1") != "0":
-        try:
-            stages["distributed_2part"] = _stage_distributed(jax, jnp, np)
-        except Exception as e:  # pragma: no cover
-            stages["distributed_2part"] = {"error": repr(e)}
-        try:
-            stages["helmholtz_complex_1e6"] = _stage_helmholtz(jax, jnp, np)
-        except Exception as e:  # pragma: no cover
-            stages["helmholtz_complex_1e6"] = {"error": repr(e)}
-        try:
-            stages["ddm_gmres"] = _stage_ddm(jax, jnp, np)
-        except Exception as e:  # pragma: no cover
-            stages["ddm_gmres"] = {"error": repr(e)}
+        # free config 1's device arrays first: each stage builds its own
+        # operator and the 16 GB HBM cannot hold all of them at once
+        import gc
+        del data, run10, run110, x0
+        hmatrix._data = None
+        del hmatrix
+        gc.collect()
+        for name, fn in [("distributed_2part", _stage_distributed),
+                         ("helmholtz_complex_1e6", _stage_helmholtz),
+                         ("ddm_gmres", _stage_ddm)]:
+            try:
+                stages[name] = fn(jax, jnp, np)
+            except Exception as e:  # pragma: no cover
+                stages[name] = {"error": repr(e)}
+            gc.collect()
         stages["multihost_scaling_proxy"] = _stage_multihost()
 
     nnz_per_s = compressed / t_matvec

@@ -42,7 +42,10 @@ class Config:
     # Uniform tile caps keep ACA reliable (bounded rank per block), bound
     # the number of distinct XLA compile shapes, and turn the matvec into
     # a few large batched GEMMs — the TPU-efficient shape of the format.
-    max_block_size: int = 512
+    # 1024 measured best at N=40000: 512 shatters the far field into ~13k
+    # rank-8 tiles (overhead-bound matvec, ~2x the stored bytes); 2048
+    # degrades compression and pushes single blocks past VMEM budgets.
+    max_block_size: int = 1024
     # factorization: blocks up to this size densify-and-factor (exact);
     # larger ones use the level-batched HODLR Woodbury factorization
     # (ops/hodlr.py) built by randomized peeling through the fast matvec

@@ -418,7 +418,15 @@ def _warm_device_programs(plan, gen, epsilon, reqrank, dtype, cfg) -> None:
                     for _, _, size in _chunk_slices(b.nb, cap):
                         add("aca", size, b.pt, b.ps, srm)
                 else:
-                    add("aca", _stage2_chunk_size(b.nb, cap), b.pt, b.ps, srm)
+                    # the stage-2 chunk size depends on how many blocks
+                    # FAIL stage 1 (unknowable here): warm every ladder
+                    # size it could resolve to
+                    s = _stage2_chunk_size(b.nb, cap)
+                    while True:
+                        add("aca", s, b.pt, b.ps, srm)
+                        if s <= 8:
+                            break
+                        s = max(8, s // 4)
     for b in plan.dense_buckets:
         cap = _chunk_cap(b.pt * b.ps * 6)
         for _, _, size in _chunk_slices(b.nb, cap):
@@ -455,10 +463,14 @@ def _warm_device_programs(plan, gen, epsilon, reqrank, dtype, cfg) -> None:
 
 
 def _bucket_rmax(b, cfg) -> int:
-    """ACA candidate-rank cap for a bucket: admissible blocks needing more
-    than this are cheaper stored dense anyway (worthwhile check densifies)."""
+    """ACA candidate-rank cap for a bucket.  The cap scales with block
+    size: a (1024,1024) block densified at a flat rank-128 cap costs 1M
+    stored entries where rank-256 factors would cost 512K — large
+    admissible tiles deserve a higher ceiling (the escalation ladder means
+    only genuinely high-rank blocks ever pay for it)."""
     rmax = max(8, int(min(b.pt, b.ps) * cfg.max_rank_ratio))
-    return min(rmax, b.pt, b.ps, 128)
+    hard = 128 if min(b.pt, b.ps) < 1024 else 256
+    return min(rmax, b.pt, b.ps, hard)
 
 
 def _aca_stages(rmax: int) -> list[int]:

@@ -30,8 +30,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# conservative VMEM budget for x + y + the streamed block buffers
-_VMEM_BUDGET = 10 * 1024 * 1024
+# VMEM budget for x + y + every bucket's double-buffered step blocks
+# (v5e has 128 MB VMEM per core; leave headroom for Mosaic scratch)
+_VMEM_BUDGET = 64 * 1024 * 1024
 
 
 def _dot(a, b, dims, dtype):
@@ -71,103 +72,6 @@ def _accum_seg(y_ref, off, width: int, acc):
     y_ref[:, pl.ds(base, W)] = win + pltpu.roll(buf, sh, 1)
 
 
-def _dense_bucket_kernel(swapped: bool, sym: bool, G: int, pt: int, ps: int,
-                         t_off, s_off, mir, D_ref, x_ref, y_ref):
-    """One grid step = G blocks: y[:, out_seg] += x[:, in_seg] . D.
-
-    Processing G blocks per step amortizes the fixed per-grid-step cost
-    (pipeline bookkeeping dominates for small blocks — round-2 verdict
-    measured the one-block-per-step version at 13.7% of the HBM roofline
-    with small buckets as the main sink)."""
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        y_ref[:] = jnp.zeros_like(y_ref)
-
-    dtype = y_ref.dtype
-
-    def body(j, carry):
-        D = D_ref[j]  # (pt, ps)
-        to, so = t_off[i * G + j], s_off[i * G + j]
-
-        def main_term():
-            # y[t] += D @ x[s]  (as (k,ps) x contract ps -> (k,pt))
-            xs = _load_seg(x_ref, so, ps)
-            acc = _dot(xs, D, (((1,), (1,))), dtype)
-            _accum_seg(y_ref, to, pt, acc)
-
-        def mirror_term():
-            # y[s] += D^T @ x[t]
-            xt = _load_seg(x_ref, to, pt)
-            acc = _dot(xt, D, (((1,), (0,))), dtype)
-            _accum_seg(y_ref, so, ps, acc)
-
-        # trans: the transposed product exchanges the two terms
-        if not swapped:
-            main_term()
-            if sym:
-                @pl.when(mir[i * G + j] != 0)
-                def _():
-                    mirror_term()
-        else:
-            mirror_term()
-            if sym:
-                @pl.when(mir[i * G + j] != 0)
-                def _():
-                    main_term()
-        return carry
-
-    jax.lax.fori_loop(0, G, body, 0)
-
-
-def _lr_bucket_kernel(swapped: bool, sym: bool, G: int, pt: int, r: int,
-                      ps: int, t_off, s_off, mir, U_ref, V_ref, x_ref, y_ref):
-    """One grid step = G low-rank blocks: two-stage MXU contractions.
-    Factors are rank-major: Ut (r, pt), V (r, ps) — the rank axis is
-    second-minor so small rank classes don't pad to 128 lanes."""
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        y_ref[:] = jnp.zeros_like(y_ref)
-
-    dtype = y_ref.dtype
-
-    def body(j, carry):
-        U = U_ref[j]  # (r, pt)
-        V = V_ref[j]  # (r, ps)
-        to, so = t_off[i * G + j], s_off[i * G + j]
-
-        def main_term():
-            xs = _load_seg(x_ref, so, ps)
-            w = _dot(xs, V, (((1,), (1,))), dtype)  # (k, r)
-            acc = _dot(w, U, (((1,), (0,))), dtype)  # (k, pt)
-            _accum_seg(y_ref, to, pt, acc)
-
-        def mirror_term():
-            xt = _load_seg(x_ref, to, pt)
-            w = _dot(xt, U, (((1,), (1,))), dtype)  # (k, r)
-            acc = _dot(w, V, (((1,), (0,))), dtype)  # (k, ps)
-            _accum_seg(y_ref, so, ps, acc)
-
-        if not swapped:
-            main_term()
-            if sym:
-                @pl.when(mir[i * G + j] != 0)
-                def _():
-                    mirror_term()
-        else:
-            mirror_term()
-            if sym:
-                @pl.when(mir[i * G + j] != 0)
-                def _():
-                    main_term()
-        return carry
-
-    jax.lax.fori_loop(0, G, body, 0)
-
-
 # target bytes of block data per grid step: large enough to amortize the
 # per-step pipeline overhead, small enough to double-buffer in VMEM
 _STEP_BYTES = 1 << 18
@@ -176,40 +80,6 @@ _STEP_BYTES = 1 << 18
 def _group_size(per_block_bytes: int, nb: int) -> int:
     G = max(1, _STEP_BYTES // max(per_block_bytes, 1))
     return int(min(G, 256, nb))
-
-
-def _bucket_call(kernel_fn, static_args, blocks, xT, t_off, s_off, mir,
-                 G: int, interpret):
-    """Launch one bucket's kernel over ceil(nb/G) grid steps of G blocks.
-    Padding blocks (zero data, offset 0, mirror 0) contribute nothing."""
-    nb = t_off.shape[0]
-    nb_pad = -(-nb // G) * G
-    if nb_pad != nb:
-        pad = nb_pad - nb
-        blocks = tuple(jnp.pad(b, ((0, pad),) + ((0, 0),) * (b.ndim - 1))
-                       for b in blocks)
-        t_off = jnp.pad(t_off, (0, pad))
-        s_off = jnp.pad(s_off, (0, pad))
-        mir = jnp.pad(mir, (0, pad))
-    k, L = xT.shape
-    kernel = partial(kernel_fn, *static_args)
-    in_specs = [
-        pl.BlockSpec((G,) + tuple(b.shape[1:]),
-                     lambda i, *_: (i,) + (0,) * (b.ndim - 1))
-        for b in blocks
-    ] + [pl.BlockSpec((k, L), lambda i, *_: (0, 0))]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(nb_pad // G,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((k, L), lambda i, *_: (0, 0)),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((k, L), xT.dtype),
-        interpret=interpret,
-    )(t_off, s_off, mir, *blocks, xT)
 
 
 def pallas_supported(data, L: int, k: int, x_dtype) -> bool:
@@ -222,22 +92,109 @@ def pallas_supported(data, L: int, k: int, x_dtype) -> bool:
         return False  # f64 is emulated on TPU; XLA path handles parity runs
     itemsize = jnp.dtype(x_dtype).itemsize
     vec_bytes = 2 * k * max(L, 128) * itemsize
+    # the fused kernel holds EVERY bucket's current step block (double
+    # buffered) in VMEM simultaneously
     blk_bytes = 0
     for d in data["dense"]:
         nb, pt, ps = d[0].shape
         per = pt * ps * itemsize
-        blk_bytes = max(blk_bytes, _group_size(per, nb) * per)
+        blk_bytes += _group_size(per, nb) * per
     for u, v, *_ in data["lr"]:
         nb = u.shape[0]
         per = (u.shape[1] * u.shape[2] + v.shape[1] * v.shape[2]) * itemsize
-        blk_bytes = max(blk_bytes, _group_size(per, nb) * per)
-    return vec_bytes + 4 * blk_bytes < _VMEM_BUDGET
+        blk_bytes += _group_size(per, nb) * per
+    return vec_bytes + 2 * blk_bytes < _VMEM_BUDGET
+
+
+def _fused_kernel(bucket_meta, *refs):
+    """One grid step of the FUSED product: every bucket owns a contiguous
+    range of grid steps; outside its range a bucket's index map freezes
+    (same block index -> the pipeline skips the DMA), so each step streams
+    only the active bucket's blocks.  Fusing all buckets into one
+    pallas_call removes the per-launch dispatch + output-combine cost of
+    ~25 separate kernels (measured ~1 ms of a 2.7 ms N=40000 matvec)."""
+    n_scalar = 3 * len(bucket_meta)
+    scalars = refs[:n_scalar]
+    rest = refs[n_scalar:]
+    x_ref, y_ref = rest[-2], rest[-1]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    blk_pos = 0
+    for b, (kind, start, steps, G, dims, swapped, sym) in \
+            enumerate(bucket_meta):
+        t_off, s_off, mir = scalars[3 * b:3 * b + 3]
+        if kind == "dense":
+            blocks = rest[blk_pos:blk_pos + 1]
+            blk_pos += 1
+        else:
+            blocks = rest[blk_pos:blk_pos + 2]
+            blk_pos += 2
+
+        @pl.when((i >= start) & (i < start + steps))
+        def _(kind=kind, start=start, G=G, dims=dims, blocks=blocks,
+              t_off=t_off, s_off=s_off, mir=mir, swapped=swapped, sym=sym,
+              i=i):
+            j0 = (i - start) * G
+
+            def body(j, carry):
+                to, so = t_off[j0 + j], s_off[j0 + j]
+                dtype = y_ref.dtype
+                if kind == "dense":
+                    pt, ps = dims
+                    D = blocks[0][j]
+
+                    def main():
+                        xs = _load_seg(x_ref, so, ps)
+                        _accum_seg(y_ref, to, pt,
+                                   _dot(xs, D, (((1,), (1,))), dtype))
+
+                    def mirror():
+                        xt = _load_seg(x_ref, to, pt)
+                        _accum_seg(y_ref, so, ps,
+                                   _dot(xt, D, (((1,), (0,))), dtype))
+                else:
+                    pt, r, ps = dims
+                    U = blocks[0][j]  # (r, pt)
+                    V = blocks[1][j]  # (r, ps)
+
+                    def main():
+                        xs = _load_seg(x_ref, so, ps)
+                        w = _dot(xs, V, (((1,), (1,))), dtype)
+                        _accum_seg(y_ref, to, pt,
+                                   _dot(w, U, (((1,), (0,))), dtype))
+
+                    def mirror():
+                        xt = _load_seg(x_ref, to, pt)
+                        w = _dot(xt, U, (((1,), (1,))), dtype)
+                        _accum_seg(y_ref, so, ps,
+                                   _dot(w, V, (((1,), (0,))), dtype))
+
+                if not swapped:
+                    main()
+                    if sym:
+                        @pl.when(mir[j0 + j] != 0)
+                        def _():
+                            mirror()
+                else:
+                    mirror()
+                    if sym:
+                        @pl.when(mir[j0 + j] != 0)
+                        def _():
+                            main()
+                return carry
+
+            jax.lax.fori_loop(0, G, body, 0)
 
 
 @partial(jax.jit, static_argnames=("ny_pad", "trans", "sym", "interpret"))
 def apply_hmatrix_pallas(data, x_pad, ny_pad: int, trans: str, sym: str,
                          interpret: bool = False):
-    """Same contract as ops.matvec.apply_hmatrix_padded, Pallas execution.
+    """Same contract as ops.matvec.apply_hmatrix_padded, Pallas execution:
+    ONE fused kernel launch covering every bucket.
 
     x_pad: (L, k) padded input (zeros in the pad region), L == ny_pad.
     Returns y_pad (L, k).
@@ -245,23 +202,76 @@ def apply_hmatrix_pallas(data, x_pad, ny_pad: int, trans: str, sym: str,
     swapped = trans != "N"
     symmetric = sym != "N"
     xT = jnp.swapaxes(x_pad, 0, 1)  # (k, L): minor dim dense across lanes
-    yT = jnp.zeros_like(xT)
-    for D, t_off, s_off, mirror in data["dense"]:
-        nb, pt, ps = D.shape
-        G = _group_size(pt * ps * D.dtype.itemsize, nb)
-        yT = yT + _bucket_call(_dense_bucket_kernel,
-                               (swapped, symmetric, G, pt, ps), (D,), xT,
-                               t_off.astype(jnp.int32),
-                               s_off.astype(jnp.int32),
-                               mirror.astype(jnp.int32), G, interpret)
-    for U, V, t_off, s_off, mirror in data["lr"]:
-        nb, r, pt = U.shape
-        ps = V.shape[2]
-        G = _group_size(r * (pt + ps) * U.dtype.itemsize, nb)
-        yT = yT + _bucket_call(_lr_bucket_kernel,
-                               (swapped, symmetric, G, pt, r, ps), (U, V),
-                               xT,
-                               t_off.astype(jnp.int32),
-                               s_off.astype(jnp.int32),
-                               mirror.astype(jnp.int32), G, interpret)
+    k, L = xT.shape
+
+    bucket_meta = []   # (kind, start, steps, G, dims, swapped, sym)
+    scalar_args = []   # t_off, s_off, mir per bucket (padded to G multiple)
+    block_args = []    # D | U, V per bucket (padded)
+    in_specs = []
+    start = 0
+
+    def pad_bucket(blocks, t_off, s_off, mir, G):
+        nb = t_off.shape[0]
+        nb_pad = -(-nb // G) * G
+        if nb_pad != nb:
+            p = nb_pad - nb
+            blocks = tuple(jnp.pad(b, ((0, p),) + ((0, 0),) * (b.ndim - 1))
+                           for b in blocks)
+            t_off = jnp.pad(t_off, (0, p))
+            s_off = jnp.pad(s_off, (0, p))
+            mir = jnp.pad(mir, (0, p))
+        return blocks, t_off, s_off, mir, nb_pad
+
+    entries = ([("dense", (D,), t, s, m)
+                for D, t, s, m in data["dense"]]
+               + [("lr", (U, V), t, s, m)
+                  for U, V, t, s, m in data["lr"]])
+    if not entries:
+        return x_pad * 0
+
+    for kind, blocks, t_off, s_off, mir in entries:
+        if kind == "dense":
+            nb, pt, ps = blocks[0].shape
+            per = pt * ps * blocks[0].dtype.itemsize
+            dims = (pt, ps)
+        else:
+            nb, r, pt = blocks[0].shape
+            ps = blocks[1].shape[2]
+            per = r * (pt + ps) * blocks[0].dtype.itemsize
+            dims = (pt, r, ps)
+        G = _group_size(per, nb)
+        blocks, t_off, s_off, mir, nb_pad = pad_bucket(
+            blocks, jnp.asarray(t_off, jnp.int32),
+            jnp.asarray(s_off, jnp.int32), jnp.asarray(mir, jnp.int32), G)
+        steps = nb_pad // G
+        bucket_meta.append((kind, start, steps, G, dims, swapped, symmetric))
+        scalar_args.extend([t_off, s_off, mir])
+        for b in blocks:
+            # frozen index map: constant block index outside this bucket's
+            # grid range -> the pipeline does not re-DMA it
+            def imap(i, *_, start=start, steps=steps, nd=b.ndim):
+                j = jnp.clip(i - start, 0, steps - 1)
+                return (j,) + (0,) * (nd - 1)
+            in_specs.append(
+                pl.BlockSpec((G,) + tuple(b.shape[1:]), imap))
+            block_args.append(b)
+        start += steps
+
+    in_specs.append(pl.BlockSpec((k, L), lambda i, *_: (0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3 * len(bucket_meta),
+        grid=(start,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((k, L), lambda i, *_: (0, 0)),
+    )
+    yT = pl.pallas_call(
+        partial(_fused_kernel, bucket_meta),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, L), xT.dtype),
+        # every bucket's double-buffered step window lives in VMEM at once;
+        # Mosaic's default 16 MB scoped-vmem limit rejects realistic plans
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*scalar_args, *block_args, xT)
     return jnp.swapaxes(yT, 0, 1)
