@@ -212,22 +212,23 @@ def _stage_distributed(jax, jnp, np):
     t_build = time.perf_counter() - t0
 
     fn = approx.distributed_operator.build_device_apply()
+    ops = fn.operands  # block data as jit ARGUMENTS, not HLO constants
     x = jnp.asarray(np.random.rand(N, 1).astype(np.float32))
 
     def chain(reps):
         @jax.jit
-        def run(x):
+        def run(ops, x):
             def body(i, x):
-                y = fn(x)
+                y = fn(ops, x)
                 return y * (1.0 / jnp.linalg.norm(y))
             return jax.lax.fori_loop(0, reps, body, x)
         return run
 
     run5, run55 = chain(5), chain(55)
-    float(run5(x)[0, 0]); float(run55(x)[0, 0])
-    t0 = time.perf_counter(); float(run5(x)[0, 0])
+    float(run5(ops, x)[0, 0]); float(run55(ops, x)[0, 0])
+    t0 = time.perf_counter(); float(run5(ops, x)[0, 0])
     t_5 = time.perf_counter() - t0
-    t0 = time.perf_counter(); float(run55(x)[0, 0])
+    t0 = time.perf_counter(); float(run55(ops, x)[0, 0])
     t_55 = time.perf_counter() - t0
     t_apply = max((t_55 - t_5) / 50.0, 1e-9)
 

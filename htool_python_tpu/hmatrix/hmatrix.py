@@ -116,12 +116,21 @@ class HMatrix:
 
     # ------------------------------------------------------------------
     # products
-    def _apply_internal_2d(self, x2d, trans: str):
+    def _apply_internal_2d(self, x2d, trans: str, data=None):
         """x2d: (nin, k) in internal numbering. Returns (nout, k).
 
         Symmetric block-row plans (t_off_absolute) run in absolute
         coordinates: the target segment is placed at / sliced from the
-        plan's target_offset."""
+        plan's target_offset.
+
+        `data` overrides the bucket arrays (same pytree structure as
+        `self._data`): callers that jit an outer program pass the device
+        arrays as ARGUMENTS through this hook instead of closing over them
+        (the `operands` protocol, solvers/krylov.py `_bind_operator`), so
+        compiled programs are keyed by shapes only — never embedding the
+        H-matrix data as HLO constants."""
+        if data is None:
+            data = self._data
         nt, ns = self.shape
         nin = ns if trans == "N" else nt
         nout = nt if trans == "N" else ns
@@ -134,14 +143,14 @@ class HMatrix:
         x_pad = jnp.zeros((self._pad_len, x2d.shape[1]), dtype=dtype)
         x_pad = x_pad.at[in_base:in_base + nin].set(
             jnp.asarray(x2d, dtype=dtype))
-        y_pad = apply_hmatrix(self._data, x_pad, self._pad_len,
+        y_pad = apply_hmatrix(data, x_pad, self._pad_len,
                               trans, self.symmetry)
         return y_pad[out_base:out_base + nout]
 
-    def matvec_internal(self, x, trans: str = "N"):
+    def matvec_internal(self, x, trans: str = "N", data=None):
         x = jnp.asarray(x)
         squeeze = x.ndim == 1
-        y = self._apply_internal_2d(x[:, None] if squeeze else x, trans)
+        y = self._apply_internal_2d(x[:, None] if squeeze else x, trans, data)
         return y[:, 0] if squeeze else y
 
     def _device_perms(self, trans: str):
@@ -412,14 +421,18 @@ class HMatrixTreeBuilder:
         self.symmetry = symmetry
         self.UPLO = UPLO
         self.reqrank = int(reqrank)
+        # reference semantics (hmatrix_tree_builder.hpp:23-32):
+        # `low_rank_strategy` is a VirtualLowRankGenerator handed in at
+        # construction — the ctor-argument spelling of
+        # set_low_rank_generator, NOT a strategy-name string
         self.low_rank_strategy = low_rank_strategy
-        if low_rank_strategy is not None:
-            from ..utils.logger import get_logger
-            get_logger().warning(
-                "low_rank_strategy %r has no effect: the device compressor "
-                "is batched ACA+SVD recompression; use set_low_rank_generator"
-                " for a custom compressor", low_rank_strategy)
-        self._low_rank_generator = None
+        if low_rank_strategy is not None and not hasattr(
+                low_rank_strategy, "build_low_rank_approximation"):
+            raise TypeError(
+                "low_rank_strategy must be a VirtualLowRankGenerator "
+                "(reference: hmatrix_tree_builder.hpp:23-32); got "
+                f"{type(low_rank_strategy).__name__}")
+        self._low_rank_generator = low_rank_strategy
         self._dense_blocks_generator = None
         self._minimal_target_depth = 0
         self._minimal_source_depth = 0

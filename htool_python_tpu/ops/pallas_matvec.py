@@ -40,6 +40,39 @@ def _dot(a, b, dims, dtype):
                                preferred_element_type=jnp.float32).astype(dtype)
 
 
+# Contraction engine choice.  With few RHS columns (k < _MXU_MIN_K) each
+# per-block dot is a (k, ps) x (ps, pt) sliver: the MXU pays its full
+# pipeline latency (plus the multi-pass f32 emulation) for 1/128th of its
+# throughput, and the serialized per-block dots — not HBM bandwidth —
+# dominate the product (r03 measurement: halving stored bytes left the
+# matvec time unchanged).  The VPU formulation below instead computes
+# broadcast-multiply + axis-reduce, which streams the block data from VMEM
+# at register rate with no MXU latency per block; for k = 1 the total VPU
+# work is ~bytes/4KB cycles, far below the HBM DMA floor.  Large k keeps
+# the MXU path (the dot amortizes across columns).
+_MXU_MIN_K = 8
+
+
+def _contract_right(A, x, dtype):
+    """x (k, w_in) x A (w_out, w_in) -> (k, w_out), contracting w_in
+    (= A @ x per column).  VPU multiply-reduce for small k."""
+    k = x.shape[0]
+    if k >= _MXU_MIN_K:
+        return _dot(x, A, ((1,), (1,)), dtype)
+    rows = [jnp.sum(A * x[kk][None, :], axis=-1) for kk in range(k)]
+    return jnp.stack(rows).astype(dtype)
+
+
+def _contract_left(A, x, dtype):
+    """x (k, w_in) x A (w_in, w_out) -> (k, w_out), contracting w_in
+    (= A^T @ x per column).  VPU multiply-reduce for small k."""
+    k = x.shape[0]
+    if k >= _MXU_MIN_K:
+        return _dot(x, A, ((1,), (0,)), dtype)
+    rows = [jnp.sum(A * x[kk][:, None], axis=0) for kk in range(k)]
+    return jnp.stack(rows).astype(dtype)
+
+
 # Mosaic requires dynamic lane-dimension slice offsets to be provable
 # multiples of 128, but H-matrix block offsets are arbitrary cluster-tree
 # offsets.  Standard TPU trick: slice a 128-extended window at the aligned
@@ -150,12 +183,12 @@ def _fused_kernel(bucket_meta, *refs):
                     def main():
                         xs = _load_seg(x_ref, so, ps)
                         _accum_seg(y_ref, to, pt,
-                                   _dot(xs, D, (((1,), (1,))), dtype))
+                                   _contract_right(D, xs, dtype))
 
                     def mirror():
                         xt = _load_seg(x_ref, to, pt)
                         _accum_seg(y_ref, so, ps,
-                                   _dot(xt, D, (((1,), (0,))), dtype))
+                                   _contract_left(D, xt, dtype))
                 else:
                     pt, r, ps = dims
                     U = blocks[0][j]  # (r, pt)
@@ -163,15 +196,15 @@ def _fused_kernel(bucket_meta, *refs):
 
                     def main():
                         xs = _load_seg(x_ref, so, ps)
-                        w = _dot(xs, V, (((1,), (1,))), dtype)
+                        w = _contract_right(V, xs, dtype)
                         _accum_seg(y_ref, to, pt,
-                                   _dot(w, U, (((1,), (0,))), dtype))
+                                   _contract_left(U, w, dtype))
 
                     def mirror():
                         xt = _load_seg(x_ref, to, pt)
-                        w = _dot(xt, U, (((1,), (1,))), dtype)
+                        w = _contract_right(U, xt, dtype)
                         _accum_seg(y_ref, so, ps,
-                                   _dot(w, V, (((1,), (0,))), dtype))
+                                   _contract_left(V, w, dtype))
 
                 if not swapped:
                     main()

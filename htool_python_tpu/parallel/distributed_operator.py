@@ -164,18 +164,25 @@ class DistributedOperator:
 
     def build_device_apply(self):
         """Returns a traceable x2d (n_src, k) -> y2d (n_tgt, k) global
-        product in user numbering.  All partition offsets are static, so the
-        closure jits into a single device program (used by the
-        device-resident Krylov loop, solvers/krylov.py)."""
+        product in user numbering (used by the device-resident Krylov loop,
+        solvers/krylov.py).
+
+        The per-partition H-matrix / dense device arrays are exposed via the
+        `operands` attribute and the returned function also accepts
+        `(operands, x2d)` — the `_bind_operator` protocol — so OUTER jits
+        (the GMRES restart cycle, bench chains) receive the data as
+        arguments.  Closing over the arrays instead would embed hundreds of
+        MB of block data as HLO constants in every compiled program (the
+        r03 `HTTP 413` / `RESOURCE_EXHAUSTED` failure mode; regression
+        pinned by tests/test_device_apply_constants.py)."""
         import jax.numpy as jnp
         if not self.device_apply_available():
             raise ValueError("distributed operator holds custom Python local "
                              "operators; device apply unavailable")
-        perm_s = jnp.asarray(self.source_cluster.get_permutation())
-        perm_t = jnp.asarray(self.target_cluster.get_permutation())
-        # (static_t_off, static_t_size, source renumbering, apply-closure)
+        # static per-piece layout: (t_off, t_sz, s_off, s_sz, apply(data, seg))
         pieces = []
         op_dtypes = []
+        piece_data = []
         for p in range(self.n_partitions):
             t_off, t_sz = int(self.t_offsets[p]), int(self.t_sizes[p])
             ops = list(self._global_to_local[p])
@@ -186,29 +193,42 @@ class DistributedOperator:
                 s_off, s_sz = int(s.offset), int(s.size)
                 if hasattr(op, "hmatrix"):
                     h = op.hmatrix
-                    fn = (lambda seg, _h=h: _h.matvec_internal(seg, "N"))
+                    fn = (lambda data, seg, _h=h:
+                          _h.matvec_internal(seg, "N", data=data))
+                    piece_data.append(h._data)
                     op_dtypes.append(h.dtype)
                 else:
-                    data = jnp.asarray(op.data)
-                    fn = (lambda seg, _d=data: _d @ seg)
-                    op_dtypes.append(np.dtype(data.dtype))
+                    fn = (lambda data, seg: data @ seg)
+                    piece_data.append(jnp.asarray(op.data))
+                    op_dtypes.append(np.dtype(op.data.dtype))
                 pieces.append((t_off, t_sz, s_off, s_sz, fn))
 
         n_t = self.shape[0]
+        operands = {
+            "perm_s": jnp.asarray(self.source_cluster.get_permutation()),
+            "perm_t": jnp.asarray(self.target_cluster.get_permutation()),
+            "pieces": tuple(piece_data),
+        }
 
-        def apply(x2d):
-            x_int = x2d[perm_s]
+        def apply(*args):
+            if len(args) == 1:
+                ops_tree, x2d = operands, args[0]
+            else:
+                ops_tree, x2d = args
+            x_int = x2d[ops_tree["perm_s"]]
             dtype = jnp.result_type(x2d.dtype, *op_dtypes) if op_dtypes \
                 else x2d.dtype
             y_int = jnp.zeros((n_t, x2d.shape[1]), dtype=dtype)
-            for t_off, t_sz, s_off, s_sz, fn in pieces:
+            for (t_off, t_sz, s_off, s_sz, fn), data in zip(
+                    pieces, ops_tree["pieces"]):
                 seg = x_int[s_off:s_off + s_sz]
                 y_int = y_int.at[t_off:t_off + t_sz].add(
-                    fn(seg).astype(dtype))
+                    fn(data, seg).astype(dtype))
             y = jnp.zeros_like(y_int)
-            y = y.at[perm_t].set(y_int)
+            y = y.at[ops_tree["perm_t"]].set(y_int)
             return y
 
+        apply.operands = operands
         return apply
 
     # ------------------------------------------------------------------

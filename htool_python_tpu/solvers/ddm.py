@@ -106,12 +106,17 @@ class DDMSolver:
         self._weights = {"ras": jnp.asarray(W_ras), "asm": jnp.asarray(W_asm)}
 
     # ------------------------------------------------------------------
-    def _one_level_device(self, r2d, method: str):
+    def _one_level_device(self, r2d, method: str, state=None):
         """Traceable ASM / RAS application: gather -> ONE batched LU solve
-        -> weighted scatter-add.  r2d: (n, k) device array, user numbering."""
-        lu, piv, idx_pad, mp = self._facto
+        -> weighted scatter-add.  r2d: (n, k) device array, user numbering.
+        `state` = (lu, piv, idx_pad, W) passed as jit arguments by the
+        operands protocol (default: the stored factorization)."""
+        if state is None:
+            lu, piv, idx_pad, _ = self._facto
+            W = self._weights[method]
+        else:
+            lu, piv, idx_pad, W = state
         n = self.distributed_operator.shape[0]
-        W = self._weights[method]
         r_ext = jnp.concatenate(
             [r2d, jnp.zeros((1, r2d.shape[1]), dtype=r2d.dtype)])
         X = r_ext[idx_pad]  # (P, mp, k)
@@ -121,15 +126,19 @@ class DDMSolver:
         out = out.at[idx_pad].add(Z)
         return out[:n]
 
-    def _coarse_device(self, r2d):
+    def _coarse_device(self, r2d, state=None):
         """Traceable coarse correction Z E^{-1} Z^H r (device LU of E)."""
-        Zd, E_lu = self._coarse_dev
+        Zd, E_lu = self._coarse_dev if state is None else state
         c = Zd.conj().T @ r2d
         y = jsl.lu_solve(E_lu, c)
         return Zd @ y
 
     def _device_preconditioner(self):
-        """Traceable (n, k) -> (n, k) preconditioner, or None."""
+        """Traceable (n, k) -> (n, k) preconditioner, or None.
+
+        Factor/coarse device arrays ride the `operands` attribute
+        (solvers/krylov.py `_bind_operator`): the GMRES cycle jit receives
+        them as arguments instead of baking them in as HLO constants."""
         method = self.options.get("schwarz_method", "none")
         coarse = self.options.get("schwarz_coarse_correction", "none")
         use_one = method in ("asm", "ras") and self._facto is not None
@@ -138,17 +147,30 @@ class DDMSolver:
         if not use_one and not use_coarse:
             return None
 
-        def M(r2d):
+        operands = {}
+        if use_one:
+            lu, piv, idx_pad, _ = self._facto
+            operands["one"] = (lu, piv, idx_pad, self._weights[method])
+        if use_coarse:
+            operands["coarse"] = self._coarse_dev
+
+        def M(*args):
+            if len(args) == 1:
+                ops_tree, r2d = operands, args[0]
+            else:
+                ops_tree, r2d = args
             parts = []
             if use_one:
-                parts.append(self._one_level_device(r2d, method))
+                parts.append(self._one_level_device(r2d, method,
+                                                    ops_tree["one"]))
             if use_coarse:
-                parts.append(self._coarse_device(r2d))
+                parts.append(self._coarse_device(r2d, ops_tree["coarse"]))
             z = parts[0]
             for p in parts[1:]:
                 z = z + p
             return z.astype(r2d.dtype)
 
+        M.operands = operands
         return M
 
     def _apply_one_level(self, r: np.ndarray, method: str) -> np.ndarray:
@@ -245,12 +267,14 @@ class DDMSolver:
                                    *sub_dtypes)
             b_solve = b_arr
             if use_left and M_fn is not None:
-                A_base, M_left_fn = A_fn, M_fn
-                A_fn = lambda v: M_left_fn(A_base(v))
+                from .krylov import compose_operators
                 b2 = jnp.asarray(b_arr.astype(dtype, copy=False))
                 b_solve = M_fn(b2[:, None] if b2.ndim == 1 else b2)
                 if b_arr.ndim == 1:
                     b_solve = b_solve[:, 0]
+                # operand-preserving composition: both operators' device
+                # state stays a jit ARGUMENT of the solver cycle
+                A_fn = compose_operators(M_fn, A_fn)
                 M_fn = None
             if method == "cg":
                 xs, info = cg_device(A_fn, b_solve, M_fn=M_fn, tol=tol,

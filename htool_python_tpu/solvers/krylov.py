@@ -63,6 +63,24 @@ def _bind_operator(fn):
     return (lambda o, x: fn(o, x)), ops
 
 
+def compose_operators(outer, inner):
+    """x -> outer(inner(x)) preserving the `operands` protocol: the composed
+    callable's operands are the pair of both operators' operand pytrees, so
+    neither one's device state becomes a jit closure constant."""
+    o_call, o_ops = _bind_operator(outer)
+    i_call, i_ops = _bind_operator(inner)
+
+    def fn(*args):
+        if len(args) == 1:
+            (oo, io), x = (o_ops, i_ops), args[0]
+        else:
+            (oo, io), x = args
+        return o_call(oo, i_call(io, x))
+
+    fn.operands = (o_ops, i_ops)
+    return fn
+
+
 def _make_gmres_cycle(A_fn, M_fn, m: int, max_it: int):
     """Build the jitted restart-cycle: m inner iterations with per-column
     active masking.  State layout (k = number of RHS columns):

@@ -240,3 +240,27 @@ def test_reqrank():
     for _, b, r in [(None, b, r) for b, r in
                     zip(hmatrix.plan.lowrank_buckets, hmatrix._lr_ranks)]:
         assert (r <= 3).all()
+
+
+def test_low_rank_strategy_ctor_arg():
+    """`low_rank_strategy` is the ctor spelling of set_low_rank_generator
+    (reference: hmatrix_tree_builder.hpp:23-32, default nullptr); anything
+    that is not a VirtualLowRankGenerator raises instead of being silently
+    ignored."""
+    nb = 300
+    target, _ = _make_geometry("S", nb, nb)
+    builder = H.ClusterTreeBuilder()
+    builder.set_maximal_leaf_size(10)
+    cluster = builder.create_cluster_tree(target, 2)
+    generator = CustomGenerator(target, target)
+    lrg = CustomSVD(generator)
+    hb = H.HMatrixTreeBuilder(1e-3, 100.0, "N", "N", -1, lrg)
+    assert hb._low_rank_generator is lrg
+    hm = hb.build(generator, cluster, cluster)
+    np.random.seed(3)
+    x = np.random.rand(nb)
+    y_exact = generator.mat_vec(x)
+    assert (np.linalg.norm(hm * x - y_exact) / np.linalg.norm(y_exact)
+            < 1e-3)
+    with pytest.raises(TypeError):
+        H.HMatrixTreeBuilder(1e-3, 100.0, "N", "N", -1, "partialACA")
