@@ -275,6 +275,37 @@ def _stage_helmholtz(jax, jnp, np):
     jax.block_until_ready(hm._data)
     t_recomp = time.perf_counter() - t0
 
+    # device-resident complex matvec chain through the plane-split kernel;
+    # compact first: at N=100k the complex arrays + plane split together
+    # exceed what the 16 GB chip can spare
+    from htool_python_tpu.ops.matvec import apply_hmatrix_user, \
+        resolve_backend
+    hm.compact_for_products()
+    data = hm._product_data()
+    backend = resolve_backend(data, hm._pad_len, 1, np.complex64, "N")
+    perm_in, inv_out = hm._device_perms("N")
+    pad_len = hm._pad_len
+    xc = jnp.asarray((np.random.rand(N, 1)
+                      + 1j * np.random.rand(N, 1)).astype(np.complex64))
+
+    def chain(reps):
+        @jax.jit
+        def run(data, x):
+            def body(i, x):
+                y = apply_hmatrix_user(data, perm_in, inv_out, x, pad_len,
+                                       "N", "N", N, backend)
+                return y * (1.0 / jnp.linalg.norm(y))
+            return jax.lax.fori_loop(0, reps, body, x)
+        return run
+
+    run5, run55 = chain(5), chain(55)
+    complex(run5(data, xc)[0, 0]); complex(run55(data, xc)[0, 0])
+    t0 = time.perf_counter(); complex(run5(data, xc)[0, 0])
+    t_5 = time.perf_counter() - t0
+    t0 = time.perf_counter(); complex(run55(data, xc)[0, 0])
+    t_55 = time.perf_counter() - t0
+    t_mv_dev = max((t_55 - t_5) / 50.0, 1e-9)
+
     x = np.random.rand(N).astype(np.complex64)
     t0 = time.perf_counter()
     y = hm * x
@@ -286,8 +317,10 @@ def _stage_helmholtz(jax, jnp, np):
     rel = float(np.linalg.norm(y[rows] - Ks @ x) / np.linalg.norm(Ks @ x))
     dense_e, lr_e, _ = hm._storage_counts()
     return {"N": N, "epsilon_requested": eps, "dtype": "complex64",
+            "matvec_backend": backend,
             "assembly_s": round(t_assembly, 2),
             "recompression_s": round(t_recomp, 2),
+            "matvec_device_ms": round(t_mv_dev * 1e3, 3),
             "matvec_e2e_ms": round(t_mv * 1e3, 2),
             "compression_ratio": round(N * N / max(dense_e + lr_e, 1), 2),
             "rel_error_sampled_achieved": rel}

@@ -1,5 +1,12 @@
-"""Advanced: batched dense-leaf assembly callback (reference:
-example/advanced/use_custom_dense_block_generator.py)."""
+"""Assemble the dense leaves through the batched user callback.
+
+`set_dense_blocks_generator(hook)` routes EVERY non-admissible leaf block
+to one `build_dense_blocks` call (see
+define_custom_dense_blocks_generator.py); admissible blocks still go
+through the usual low-rank compression.  Useful when entries come from an
+external source (quadrature code, a file, another library) that prefers
+one bulk request over per-block callbacks.
+"""
 
 import os
 import sys
@@ -8,64 +15,48 @@ import numpy as np
 
 sys.path.append(os.path.abspath(os.path.join(os.path.dirname(__file__),
                                              "..")))
-from _example_env import n_partitions  # noqa: E402, I001
-from create_geometry import create_partitionned_geometries  # noqa: E402
+from _example_env import finish_plot  # noqa: E402, F401, I001
 from define_custom_dense_blocks_generator import (  # noqa: E402
     CustomDenseBlocksGenerator,
 )
 from define_generators import CustomGenerator  # noqa: E402
 
 import htool_python_tpu as Htool  # noqa: E402
+from htool_python_tpu.models.geometry import (  # noqa: E402
+    create_random_points_in_sphere,
+)
 
-P = n_partitions(2)
+EPSILON = 1e-3
 
-# Random geometry
-nb_rows = 500
-nb_cols = 500
-dimension = 3
-[target_points, source_points, target_partition] = (
-    create_partitionned_geometries(dimension, nb_rows, nb_cols, P))
 
-# Htool parameters
-eta = 10
-epsilon = 1e-3
-maximal_leaf_size = 10
-number_of_children = 2
+def main():
+    np.random.seed(11)
+    n = 700
+    points = create_random_points_in_sphere(n)
+    cb = Htool.ClusterTreeBuilder()
+    cb.set_maximal_leaf_size(20)
+    cluster = cb.create_cluster_tree(points, 2)
 
-# Build clusters
-cluster_builder = Htool.ClusterTreeBuilder()
-cluster_builder.set_maximal_leaf_size(maximal_leaf_size)
-target_cluster = cluster_builder.create_cluster_tree_from_local_partition(
-    target_points, number_of_children, P, target_partition)
-source_cluster = cluster_builder.create_cluster_tree(
-    source_points, number_of_children, size_of_partition=P)
+    oracle = CustomGenerator(points, points)
+    hook = CustomDenseBlocksGenerator(oracle, cluster, cluster)
 
-# Build generator + batched dense-blocks callback
-generator = CustomGenerator(target_points, source_points)
-dense_blocks_generator = CustomDenseBlocksGenerator(
-    generator, target_cluster, source_cluster)
+    hb = Htool.HMatrixTreeBuilder(EPSILON, 10.0, "N", "N")
+    hb.set_dense_blocks_generator(hook)
+    hm = hb.build(oracle, cluster, cluster)
 
-hmatrix_builder = Htool.HMatrixTreeBuilder(epsilon, eta, "N", "N")
-hmatrix_builder.set_dense_blocks_generator(dense_blocks_generator)
+    x = np.random.rand(n)
+    y_exact = oracle.mat_vec(x)
+    rel = np.linalg.norm(hm * x - y_exact) / np.linalg.norm(y_exact)
+    print(f"matvec rel err {rel:.2e}")
+    assert rel < EPSILON
 
-# Build distributed operator
-default_approximation = Htool.DefaultApproximationBuilder(
-    generator, target_cluster, source_cluster, hmatrix_builder, None)
-distributed_operator = default_approximation.distributed_operator
+    X = np.random.rand(n, 2)
+    rel_m = (np.linalg.norm(hm @ X - oracle.mat_mat(X))
+             / np.linalg.norm(oracle.mat_mat(X)))
+    print(f"matmat rel err {rel_m:.2e}")
+    assert rel_m < EPSILON
+    print(hm.get_local_information())
 
-# Test matrix vector product
-np.random.seed(0)
-x = np.random.rand(nb_cols)
-y_1 = distributed_operator * x
-y_2 = generator.mat_vec(x)
-err = np.linalg.norm(y_1 - y_2) / np.linalg.norm(y_2)
-print("matvec rel err:", err)
-assert err < epsilon
 
-# Test matrix matrix product
-X = np.asfortranarray(np.random.rand(nb_cols, 2))
-Y_1 = distributed_operator @ X
-Y_2 = generator.mat_mat(X)
-err = np.linalg.norm(Y_1 - Y_2) / np.linalg.norm(Y_2)
-print("matmat rel err:", err)
-assert err < epsilon
+if __name__ == "__main__":
+    main()

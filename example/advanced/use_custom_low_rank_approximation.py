@@ -1,5 +1,11 @@
-"""Advanced: plug a custom low-rank compressor into assembly (reference:
-example/advanced/use_custom_low_rank_approximation.py)."""
+"""Plug a custom low-rank compressor into H-matrix assembly.
+
+Two equivalent spellings wire the hook in (both matching the reference's
+HMatrixTreeBuilder API): `set_low_rank_generator(hook)` after
+construction, or passing it as the `low_rank_strategy` constructor
+argument.  Assembly then calls the hook per admissible block instead of
+the built-in device ACA; returning False densifies that block.
+"""
 
 import os
 import sys
@@ -8,68 +14,54 @@ import numpy as np
 
 sys.path.append(os.path.abspath(os.path.join(os.path.dirname(__file__),
                                              "..")))
-from _example_env import n_partitions  # noqa: E402, I001
-from create_geometry import create_partitionned_geometries  # noqa: E402
+from _example_env import finish_plot  # noqa: E402, F401, I001
 from define_custom_low_rank_generator import CustomSVD  # noqa: E402
 from define_generators import CustomGenerator  # noqa: E402
 
 import htool_python_tpu as Htool  # noqa: E402
+from htool_python_tpu.models.geometry import (  # noqa: E402
+    create_random_points_in_sphere,
+)
 
-P = n_partitions(2)
+EPSILON = 1e-3
 
-# Random geometry
-nb_rows = 500
-nb_cols = 500
-dimension = 3
-[target_points, source_points, target_partition] = (
-    create_partitionned_geometries(dimension, nb_rows, nb_cols, P))
 
-# Htool parameters
-eta = 100
-epsilon = 1e-3
-maximal_leaf_size = 10
-number_of_children = 2
+def main():
+    np.random.seed(4)
+    n = 700
+    points = create_random_points_in_sphere(n)
+    cb = Htool.ClusterTreeBuilder()
+    cb.set_maximal_leaf_size(20)
+    cluster = cb.create_cluster_tree(points, 2)
 
-# Build clusters
-cluster_builder = Htool.ClusterTreeBuilder()
-cluster_builder.set_maximal_leaf_size(maximal_leaf_size)
-target_cluster = cluster_builder.create_cluster_tree_from_local_partition(
-    target_points, number_of_children, P, target_partition)
-source_cluster = cluster_builder.create_cluster_tree(
-    source_points, number_of_children, size_of_partition=P)
+    oracle = CustomGenerator(points, points)
+    svd_hook = CustomSVD(oracle)
 
-# Build generator + custom low-rank compressor
-generator = CustomGenerator(target_points, source_points)
-low_rank_generator = CustomSVD(generator)
+    # spelling 1: setter
+    hb = Htool.HMatrixTreeBuilder(EPSILON, 100.0, "N", "N")
+    hb.set_low_rank_generator(svd_hook)
+    hm = hb.build(oracle, cluster, cluster)
 
-# Build HMatrix with the custom compressor
-hmatrix_builder = Htool.HMatrixTreeBuilder(epsilon, eta, "N", "N")
-hmatrix_builder.set_low_rank_generator(low_rank_generator)
+    # spelling 2: constructor argument (reference `low_rank_strategy`)
+    hb2 = Htool.HMatrixTreeBuilder(EPSILON, 100.0, "N", "N", -1,
+                                   CustomSVD(oracle))
+    hm2 = hb2.build(oracle, cluster, cluster)
 
-# Build distributed operator
-distributed_operator_from_hmatrix = Htool.DefaultApproximationBuilder(
-    generator, target_cluster, source_cluster, hmatrix_builder, None)
+    x = np.random.rand(n)
+    y_exact = oracle.mat_vec(x)
+    for name, h in [("setter", hm), ("ctor", hm2)]:
+        rel = np.linalg.norm(h * x - y_exact) / np.linalg.norm(y_exact)
+        print(f"{name}: matvec rel err {rel:.2e}")
+        assert rel < EPSILON
 
-distributed_operator = distributed_operator_from_hmatrix.distributed_operator
-hmatrix = distributed_operator_from_hmatrix.hmatrix
-Htool.openmp_recompression(hmatrix)
+    # SVD is rank-optimal: compare against the built-in ACA compression
+    hm_aca = Htool.HMatrixTreeBuilder(EPSILON, 100.0, "N", "N").build(
+        oracle, cluster, cluster)
+    print("SVD-hook compression:",
+          hm.get_local_information()["Compression_ratio"])
+    print("default-ACA compression:",
+          hm_aca.get_local_information()["Compression_ratio"])
 
-# Test matrix vector product
-np.random.seed(0)
-x = np.random.rand(nb_cols)
-y_1 = distributed_operator * x
-y_2 = generator.mat_vec(x)
-err = np.linalg.norm(y_1 - y_2) / np.linalg.norm(y_2)
-print("matvec rel err:", err)
-assert err < epsilon
 
-# Test matrix matrix product
-X = np.asfortranarray(np.random.rand(nb_cols, 2))
-Y_1 = distributed_operator @ X
-Y_2 = generator.mat_mat(X)
-err = np.linalg.norm(Y_1 - Y_2) / np.linalg.norm(Y_2)
-print("matmat rel err:", err)
-assert err < epsilon
-
-print(hmatrix[0].get_local_information())
-print(hmatrix[0].get_tree_parameters())
+if __name__ == "__main__":
+    main()

@@ -1,8 +1,13 @@
-"""Advanced: diagonal blocks compressed as H-matrices, off-diagonal blocks
-as custom dense operators (reference:
-example/advanced/use_local_hmatrix_compression.py)."""
+"""Hybrid distributed operator: compressed diagonal, custom off-diagonal.
 
-import logging
+`DefaultLocalApproximationBuilder` compresses ONLY each partition's
+diagonal block as an H-matrix; the off-diagonal coupling is the user's to
+provide.  Here the two off-diagonal strips of every partition are
+registered as dense `RestrictedGlobalToLocalOperator`s — the pattern for
+applications whose far-field comes from another code path (an FMM, a
+measurement matrix, a file).
+"""
+
 import os
 import sys
 
@@ -12,104 +17,78 @@ import numpy as np
 sys.path.append(os.path.abspath(os.path.join(os.path.dirname(__file__),
                                              "..")))
 from _example_env import finish_plot, n_partitions  # noqa: E402, I001
-from create_geometry import create_random_geometries  # noqa: E402
 from define_custom_local_operator import (  # noqa: E402
-    CustomGlobalToLocalOperator,
+    CustomRestrictedGlobalToLocalOperator,
 )
 from define_generators import CustomGenerator  # noqa: E402
 
 import htool_python_tpu as Htool  # noqa: E402
+from htool_python_tpu.models.geometry import (  # noqa: E402
+    create_random_points_in_sphere,
+)
 
-logging.basicConfig(level=logging.INFO)
+EPSILON = 1e-3
 
-P = n_partitions(2)
 
-# Random geometry
-target_size = 500
-source_size = 500
-dimension = 3
-[target_points, source_points] = create_random_geometries(
-    dimension, target_size, source_size)
+def add_offdiagonal_strips(op, generator, target, source, p):
+    """Register the two dense strips left and right of partition p's
+    diagonal block (either may be empty)."""
+    tloc = target.get_cluster_on_partition(p)
+    sloc = source.get_cluster_on_partition(p)
+    lo, sz = sloc.get_offset(), sloc.get_size()
+    total = source.get_size()
+    perm = source.get_permutation()
+    for off, width in [(0, lo), (lo + sz, total - lo - sz)]:
+        if width > 0:
+            op.add_global_to_local_operator(
+                CustomRestrictedGlobalToLocalOperator(
+                    generator, Htool.LocalRenumbering(tloc),
+                    Htool.LocalRenumbering(off, width, perm)), p)
 
-# Htool parameters
-eta = 10
-epsilon = 1e-3
-maximal_leaf_size = 10
-number_of_children = 2
 
-# Build clusters
-cluster_builder = Htool.ClusterTreeBuilder()
-cluster_builder.set_maximal_leaf_size(maximal_leaf_size)
-target_cluster = cluster_builder.create_cluster_tree(
-    target_points, number_of_children, P)
-source_cluster = cluster_builder.create_cluster_tree(
-    source_points, number_of_children, P)
+def main():
+    P = n_partitions(2)
+    np.random.seed(2)
+    n = 600
+    points = create_random_points_in_sphere(n)
+    cb = Htool.ClusterTreeBuilder()
+    cb.set_maximal_leaf_size(20)
+    target = cb.create_cluster_tree(points, 2, size_of_partition=P)
+    source = cb.create_cluster_tree(points, 2, size_of_partition=P)
+    oracle = CustomGenerator(points, points)
 
-# Build generator
-generator = CustomGenerator(target_points, source_points)
+    hb = Htool.HMatrixTreeBuilder(EPSILON, 10.0, "N", "N")
+    local_approx = Htool.DefaultLocalApproximationBuilder(
+        oracle, target, source, hb, None)
+    op = local_approx.distributed_operator
+    Htool.recompression(local_approx.hmatrix)
 
-# Diagonal blocks compressed as H-matrices
-default_local_approximation = Htool.DefaultLocalApproximationBuilder(
-    generator, target_cluster, source_cluster,
-    Htool.HMatrixTreeBuilder(epsilon, eta, "N", "N"), None)
-distributed_operator = default_local_approximation.distributed_operator
-hmatrix = default_local_approximation.hmatrix
-Htool.recompression(hmatrix)
+    for p in range(P):
+        add_offdiagonal_strips(op, oracle, target, source, p)
 
-# Off-diagonal strips as custom dense operators
-for p in range(P):
-    local_target_cluster = target_cluster.get_cluster_on_partition(p)
-    local_source_cluster = source_cluster.get_cluster_on_partition(p)
-    off = local_source_cluster.get_offset()
-    sz = local_source_cluster.get_size()
-    total = source_cluster.get_size()
-    if off > 0:
-        distributed_operator.add_global_to_local_operator(
-            CustomGlobalToLocalOperator(
-                generator, Htool.LocalRenumbering(local_target_cluster),
-                Htool.LocalRenumbering(0, off,
-                                       source_cluster.get_permutation())), p)
-    if total - sz - off > 0:
-        distributed_operator.add_global_to_local_operator(
-            CustomGlobalToLocalOperator(
-                generator, Htool.LocalRenumbering(local_target_cluster),
-                Htool.LocalRenumbering(off + sz, total - sz - off,
-                                       source_cluster.get_permutation())), p)
+    x = np.random.rand(n)
+    exact = oracle.mat_vec(x)
+    rel = np.linalg.norm(op * x - exact) / np.linalg.norm(exact)
+    print(f"hybrid matvec rel err {rel:.2e}")
+    assert rel < EPSILON
 
-# Test matrix vector product
-np.random.seed(0)
-x = np.random.rand(source_size)
-y_1 = distributed_operator * x
-y_2 = generator.mat_vec(x)
-err = np.linalg.norm(y_1 - y_2) / np.linalg.norm(y_2)
-print("matvec rel err:", err)
-assert err < epsilon
+    X = np.asfortranarray(np.random.rand(n, 5))
+    exact_m = oracle.mat_mat(X)
+    rel_m = np.linalg.norm(op @ X - exact_m) / np.linalg.norm(exact_m)
+    print(f"hybrid matmat rel err {rel_m:.2e}")
+    assert rel_m < EPSILON
 
-# Test matrix matrix product
-X = np.asfortranarray(np.random.rand(source_size, 5))
-Y_1 = distributed_operator @ X
-Y_2 = generator.mat_mat(X)
-err = np.linalg.norm(Y_1 - Y_2) / np.linalg.norm(Y_2)
-print("matmat rel err:", err)
-assert err < epsilon
+    print(local_approx.hmatrix[0].get_local_information())
 
-# Several ways to display information
-print(hmatrix[0].get_distributed_information())
-print(hmatrix[0].get_local_information())
-print(hmatrix[0].get_tree_parameters())
+    fig = plt.figure(figsize=(9, 4.5))
+    ax1 = fig.add_subplot(1, 2, 1, projection="3d")
+    ax2 = fig.add_subplot(1, 2, 2)
+    ax1.set_title(f"source partitions (P={P})")
+    ax2.set_title("compressed diagonal block, partition 0")
+    Htool.plot(ax1, source, points, 1)
+    Htool.plot(ax2, local_approx.hmatrix[0])
+    finish_plot(fig, "use_local_hmatrix_compression")
 
-fig = plt.figure()
-if dimension == 2:
-    ax1 = fig.add_subplot(2, 2, 1)
-    ax2 = fig.add_subplot(2, 2, 2)
-else:
-    ax1 = fig.add_subplot(2, 2, 1, projection="3d")
-    ax2 = fig.add_subplot(2, 2, 2, projection="3d")
-ax3 = fig.add_subplot(2, 2, 4)
-ax1.set_title("source cluster at depth 1")
-ax2.set_title("source cluster at depth 2")
-ax3.set_title("Hmatrix of partition 0")
-Htool.plot(ax1, source_cluster, source_points, 1)
-Htool.plot(ax2, source_cluster, source_points, 2)
-Htool.plot(ax3, hmatrix)
-finish_plot(fig, "use_local_hmatrix_compression")
+
+if __name__ == "__main__":
+    main()

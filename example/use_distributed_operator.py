@@ -1,114 +1,105 @@
-"""Canonical workflow 3: a row-partitioned distributed operator.
+"""Row-partitioned distributed operator: the SPMD replacement for MPI.
 
-TPU-native port of the reference's example/use_distributed_operator.py:48-85.
-Where the reference runs P MPI processes each building its block row, the
-SPMD model holds every partition in one process: products run as batched
-device code, and on a multi-device mesh the same block rows shard over
-`jax.sharding.Mesh` (see ShardedDistributedOperator below).
+The reference runs P MPI processes, each assembling the H-matrix block row
+of its target partition and allgather-ing products.  Here the P block rows
+live in ONE process as batched device arrays; on a multi-device
+`jax.sharding.Mesh` the same block rows shard over devices and the
+global-to-global product compiles to a single `shard_map` program whose
+collectives ride the interconnect.
+
+Porting from Htool: `DefaultApproximationBuilder(generator, target, source,
+hmatrix_builder, comm)` (comm accepted for signature parity, unused),
+`distributed_operator * x` / `@ X` global-to-global semantics, and
+`get_distributed_information` match the reference
+(example/use_distributed_operator.py); `ShardedDistributedOperator` is the
+mesh-parallel execution of the same operator.
 """
-
-import logging
 
 import matplotlib.pyplot as plt
 import numpy as np
 
 from _example_env import finish_plot, n_partitions  # noqa: I001
-from create_geometry import create_partitionned_geometries
-from define_generators import CustomGenerator
 
 import htool_python_tpu as Htool
+from htool_python_tpu.models.geometry import create_partitioned_geometries
+from htool_python_tpu.models.kernels import inverse_distance_kernel
 
-logging.basicConfig(level=logging.INFO)
+EPSILON = 1e-3
 
-P = n_partitions(2)  # the reference's mpi4py.MPI.COMM_WORLD.size
 
-# Random geometry
-nb_rows = 1000
-nb_cols = 1000
-dimension = 3
-[target_points, source_points, target_partition] = (
-    create_partitionned_geometries(dimension, nb_rows, nb_cols, P))
+def build_operator(P):
+    # pre-partitioned geometry: P shifted clusters + the (2, P) offset/size
+    # table describing the contiguous user-numbering partition
+    target_pts, source_pts, partition = create_partitioned_geometries(
+        3, 1200, 1200, P)
+    cb = Htool.ClusterTreeBuilder()
+    cb.set_maximal_leaf_size(32)
+    target = cb.create_cluster_tree_from_local_partition(
+        target_pts, 2, P, partition)
+    source = cb.create_cluster_tree(source_pts, 2)
+    gen = Htool.KernelGenerator(inverse_distance_kernel(0.1),
+                                target_pts, source_pts)
+    hb = Htool.HMatrixTreeBuilder(EPSILON, 10.0, "N", "N")
+    approx = Htool.DefaultApproximationBuilder(gen, target, source, hb, None)
+    return target_pts, source_pts, target, source, approx
 
-# Htool parameters
-eta = 10
-epsilon = 1e-3
-maximal_leaf_size = 10
-number_of_children = 2
 
-# Build clusters
-cluster_tree_builder = Htool.ClusterTreeBuilder()
-cluster_tree_builder.set_maximal_leaf_size(maximal_leaf_size)
-target_cluster = cluster_tree_builder.create_cluster_tree_from_local_partition(
-    target_points, number_of_children, P, target_partition)
-source_cluster = cluster_tree_builder.create_cluster_tree(
-    source_points, number_of_children)
+def main():
+    P = n_partitions(2)
+    np.random.seed(0)
+    tp, sp, target, source, approx = build_operator(P)
+    op = approx.distributed_operator
+    n = op.shape[1]
 
-# Build generator
-generator = CustomGenerator(target_points, source_points)
+    # post-assembly rank re-truncation, one batched pass per partition
+    Htool.openmp_recompression(approx.hmatrix)
 
-# Build distributed operator: every partition's block row (target rows x all
-# source columns) as an H-matrix
-default_approximation = Htool.DefaultApproximationBuilder(
-    generator, target_cluster, source_cluster,
-    Htool.HMatrixTreeBuilder(epsilon, eta, "N", "N"), None)
+    # dense oracle for the accuracy check
+    d = np.linalg.norm(tp[:, :, None] - sp[:, None, :], axis=0)
+    A = 1.0 / (0.1 + d)
 
-distributed_operator = default_approximation.distributed_operator
-hmatrix = default_approximation.hmatrix
-Htool.openmp_recompression(hmatrix)
+    x = np.random.rand(n)
+    y = op * x
+    rel = np.linalg.norm(y - A @ x) / np.linalg.norm(A @ x)
+    print(f"global matvec rel err {rel:.2e}")
+    assert rel < EPSILON
 
-# Test matrix vector product (global-to-global: full x in, full y out)
-np.random.seed(0)
-x = np.random.rand(nb_cols)
-y_1 = distributed_operator * x
-y_2 = generator.mat_vec(x)
-err = np.linalg.norm(y_1 - y_2) / np.linalg.norm(y_2)
-print("distributed matvec rel err:", err)
-assert err < epsilon
+    X = np.asfortranarray(np.random.rand(n, 3))
+    rel_m = np.linalg.norm(op @ X - A @ X) / np.linalg.norm(A @ X)
+    print(f"global matmat rel err {rel_m:.2e}")
+    assert rel_m < EPSILON
 
-# Test matrix matrix product
-X = np.asfortranarray(np.random.rand(nb_cols, 2))
-Y_1 = distributed_operator @ X
-Y_2 = generator.mat_mat(X)
-err = np.linalg.norm(Y_1 - Y_2) / np.linalg.norm(Y_2)
-print("distributed matmat rel err:", err)
-assert err < epsilon
+    # the solver hot loop never leaves the device: build_device_apply
+    # exposes the product as a traceable function whose H-matrix data rides
+    # the `operands` protocol (jit arguments, not HLO constants)
+    import jax.numpy as jnp
+    fn = op.build_device_apply()
+    y_dev = np.asarray(fn(fn.operands, jnp.asarray(x[:, None])))[:, 0]
+    assert np.linalg.norm(y_dev - y) < 1e-10 * np.linalg.norm(y)
 
-# On a multi-device mesh the same block rows shard over the devices and the
-# product becomes one shard_map program (all_gather on ICI):
-import jax
+    # mesh execution: shard the P block rows over P devices
+    import jax
+    if len(jax.devices()) >= P:
+        from htool_python_tpu.parallel.sharded import (
+            ShardedDistributedOperator, make_mesh)
+        sharded = ShardedDistributedOperator(approx.hmatrix, target, source,
+                                             make_mesh(P))
+        y_mesh = sharded * x
+        print("mesh product matches:",
+              float(np.linalg.norm(y_mesh - y) / np.linalg.norm(y)))
 
-if len(jax.devices()) >= P:
-    from htool_python_tpu.parallel.sharded import (
-        ShardedDistributedOperator, make_mesh)
-    sharded = ShardedDistributedOperator(
-        default_approximation.hmatrix, target_cluster, source_cluster,
-        make_mesh(P))
-    y_mesh = sharded * x
-    print("sharded == single-device:",
-          np.linalg.norm(y_mesh - y_1) / np.linalg.norm(y_1))
+    print("shape:", op.shape)
+    print(op.get_distributed_information())
 
-# Several ways to display information
-print(distributed_operator.shape)
-print(hmatrix[0].get_distributed_information())
-print(hmatrix[0].get_local_information())
-print(hmatrix[0].get_tree_parameters())
+    fig = plt.figure(figsize=(9, 4.5))
+    ax1 = fig.add_subplot(1, 2, 1, projection="3d")
+    ax2 = fig.add_subplot(1, 2, 2)
+    ax1.set_title(f"target partitions (P={P})")
+    ax2.set_title("block row of partition 0")
+    Htool.plot(ax1, target, tp, 1)
+    Htool.plot(ax2, approx.hmatrix[0])
+    finish_plot(fig, "use_distributed_operator")
 
-fig = plt.figure()
-if dimension == 2:
-    ax1 = fig.add_subplot(2, 2, 1)
-    ax2 = fig.add_subplot(2, 2, 2)
-    ax3 = fig.add_subplot(2, 2, 3)
-else:
-    ax1 = fig.add_subplot(2, 2, 1, projection="3d")
-    ax2 = fig.add_subplot(2, 2, 2, projection="3d")
-    ax3 = fig.add_subplot(2, 2, 3, projection="3d")
-ax4 = fig.add_subplot(2, 2, 4)
-ax1.set_title("target cluster at depth 1")
-ax2.set_title("target cluster at depth 2")
-ax3.set_title("source cluster at depth 1")
-ax4.set_title("Hmatrix of partition 0")
-Htool.plot(ax1, target_cluster, target_points, 1)
-Htool.plot(ax2, target_cluster, target_points, 2)
-Htool.plot(ax3, source_cluster, source_points, 1)
-Htool.plot(ax4, hmatrix)
-finish_plot(fig, "use_distributed_operator")
+
+if __name__ == "__main__":
+    main()

@@ -1,108 +1,95 @@
-"""Canonical workflow 2: compress a kernel matrix as an H-matrix and use it.
+"""Compress a kernel operator into an H-matrix and use it on the device.
 
-TPU-native port of the reference's example/use_hmatrix.py:42-87.  Two
-assembly paths are shown: the host VirtualGenerator escape hatch (parity
-with the reference) and the TPU-native device generator, whose kernel
-entries are computed in batched tiles on the accelerator.
+The TPU-native workflow: define the kernel as a jax-traceable function of
+coordinates, hand it to `KernelGenerator`, and assembly (batched ACA + SVD
+re-truncation), products (fused Pallas block-GEMM streams), and the
+hierarchical direct solve all run on the accelerator.  The dense oracle is
+built once in numpy purely to check accuracy.
+
+Porting from Htool: `HMatrixTreeBuilder(epsilon, eta, symmetry, UPLO)` /
+`build(generator, target, source)` / `*`, `@`, `lu_factorization`,
+`lu_solve`, `get_*_information` keep the reference API
+(example/use_hmatrix.py); the host `VirtualGenerator.build_submatrix`
+escape hatch still works (see define_generators.CustomGenerator) but pays
+a Python crossing per block, exactly like the reference.
 """
 
-import logging
+import copy
 
 import matplotlib.pyplot as plt
 import numpy as np
 
 from _example_env import finish_plot  # noqa: I001
-from create_geometry import (
-    create_random_points_in_disk,
-    create_random_points_in_sphere,
-)
-from define_generators import CustomGenerator, make_device_generator
 
 import htool_python_tpu as Htool
+from htool_python_tpu.models.geometry import create_random_points_in_sphere
+from htool_python_tpu.models.kernels import inverse_distance_kernel
 
-logging.basicConfig(level=logging.INFO)
+EPSILON = 1e-3
+ETA = 10.0
 
-# Random geometry
-size = 1000
-dimension = 3
-np.random.seed(0)
-coordinates = (create_random_points_in_sphere(size) if dimension == 3
-               else create_random_points_in_disk(size))
 
-# Htool parameters
-eta = 10
-epsilon = 1e-3  # partial ACA's error estimate is loose above ~1e-2
-maximal_leaf_size = 50
-number_of_children = 2
+def assemble(points):
+    """Device assembly: the jax kernel is evaluated on the accelerator in
+    batched tiles; no per-block Python callbacks."""
+    builder = Htool.ClusterTreeBuilder()
+    builder.set_maximal_leaf_size(64)
+    cluster = builder.create_cluster_tree(points, 2)
+    generator = Htool.KernelGenerator(inverse_distance_kernel(0.1),
+                                      points, points)
+    # symmetric one-triangle storage: mirror blocks contribute transposed
+    hmatrix_builder = Htool.HMatrixTreeBuilder(EPSILON, ETA, "S", "L")
+    return cluster, hmatrix_builder.build(generator, cluster, cluster)
 
-# Build clusters
-cluster_tree_builder = Htool.ClusterTreeBuilder()
-cluster_tree_builder.set_maximal_leaf_size(maximal_leaf_size)
-target_cluster = cluster_tree_builder.create_cluster_tree(
-    coordinates, number_of_children)
-source_cluster = cluster_tree_builder.create_cluster_tree(
-    coordinates, number_of_children)
 
-# Build generator (host oracle; swap in make_device_generator(...) for
-# device-side assembly — same HMatrixTreeBuilder call)
-generator = CustomGenerator(coordinates, coordinates)
-device_generator = make_device_generator(coordinates, coordinates)
+def dense_oracle(points):
+    d = np.linalg.norm(points[:, :, None] - points[:, None, :], axis=0)
+    return 1.0 / (0.1 + d)
 
-# HMatrix (symmetric storage: one triangle + mirror flags)
-hmatrix_builder = Htool.HMatrixTreeBuilder(epsilon, eta, "S", "L")
-hmatrix: Htool.HMatrix = hmatrix_builder.build(
-    device_generator, target_cluster, source_cluster)
 
-# HMatrix vector product
-np.random.seed(0)
-x = np.random.rand(size)
-y_dense = generator.mat_vec(x)
-y = hmatrix * x
-err_vec = np.linalg.norm(y - y_dense) / np.linalg.norm(y_dense)
-print("matvec rel err:", err_vec, "(epsilon:", epsilon, ")")
-assert err_vec < epsilon
+def main():
+    np.random.seed(1)
+    n = 1200
+    points = create_random_points_in_sphere(n)
+    cluster, hm = assemble(points)
+    A = dense_oracle(points)
 
-# HMatrix matrix product
-np.random.seed(0)
-X = np.random.rand(size, 2)
-Y_dense = generator.mat_mat(X)
-Y = hmatrix @ X
-err_mat = np.linalg.norm(Y - Y_dense) / np.linalg.norm(Y_dense)
-print("matmat rel err:", err_mat)
-assert err_mat < epsilon
+    # --- products (device; numpy in -> numpy out, jax in -> jax out) ---
+    x = np.random.rand(n)
+    rel = np.linalg.norm(hm * x - A @ x) / np.linalg.norm(A @ x)
+    print(f"matvec rel err {rel:.2e} (epsilon {EPSILON:g})")
+    assert rel < EPSILON
 
-# H-LU direct solve (in-place: deepcopy first, like the reference)
-import copy
+    X = np.random.rand(n, 4)
+    rel_m = np.linalg.norm(hm @ X - A @ X) / np.linalg.norm(A @ X)
+    print(f"matmat rel err {rel_m:.2e}")
+    assert rel_m < EPSILON
 
-lu = copy.deepcopy(hmatrix)
-lu.lu_factorization()
-b_h = hmatrix * x  # consistent RHS (reference contract, test_hmatrix.py:98)
-x_sol = lu.lu_solve("N", b_h)
-err_lu = np.linalg.norm(x_sol - x) / np.linalg.norm(x)
-print("H-LU solve rel err:", err_lu)
-assert err_lu < epsilon
+    # --- hierarchical direct solve ---
+    # factorization is in place: factor a copy, keep hm for products
+    factor = copy.deepcopy(hm)
+    factor.lu_factorization()
+    b = hm * x
+    x_sol = factor.lu_solve("N", b)
+    rel_lu = np.linalg.norm(x_sol - x) / np.linalg.norm(x)
+    print(f"H-LU solve rel err {rel_lu:.2e}")
+    assert rel_lu < 10 * EPSILON
 
-# Output
-print(hmatrix.shape[0], hmatrix.shape[1])
-print(hmatrix.get_tree_parameters())
-print(hmatrix.get_local_information())
+    # --- observability ---
+    info = hm.get_local_information()
+    print("compression ratio:", info["Compression_ratio"])
+    print("rank range:", info["Min_rank"], "-", info["Max_rank"])
+    print(hm.get_tree_parameters())
 
-fig = plt.figure()
-if dimension == 2:
-    ax1 = fig.add_subplot(2, 2, 1)
-    ax2 = fig.add_subplot(2, 2, 2)
-    ax3 = fig.add_subplot(2, 2, 3)
-else:
-    ax1 = fig.add_subplot(2, 2, 1, projection="3d")
-    ax2 = fig.add_subplot(2, 2, 2, projection="3d")
-    ax3 = fig.add_subplot(2, 2, 3, projection="3d")
-ax4 = fig.add_subplot(2, 2, 4)
-ax1.set_title("target cluster at depth 1")
-ax2.set_title("target cluster at depth 2")
-ax3.set_title("source cluster at depth 1")
-ax4.set_title("Hmatrix")
-Htool.plot(ax1, target_cluster, coordinates, 1)
-Htool.plot(ax2, target_cluster, coordinates, 2)
-Htool.plot(ax3, source_cluster, coordinates, 1)
-Htool.plot(ax4, hmatrix)
-finish_plot(fig, "use_hmatrix")
+    fig = plt.figure(figsize=(9, 4.5))
+    ax1 = fig.add_subplot(1, 2, 1, projection="3d")
+    ax2 = fig.add_subplot(1, 2, 2)
+    ax1.set_title("cluster, depth 2")
+    ax2.set_title("block structure (ranks)")
+    Htool.plot(ax1, cluster, points, 2)
+    Htool.plot(ax2, hm)
+    finish_plot(fig, "use_hmatrix")
+
+
+if __name__ == "__main__":
+    main()

@@ -179,10 +179,19 @@ def assemble(plan: BlockPlan, generator, epsilon: float, reqrank: int = -1,
             kept_ranks = ranks[kept_idx]
             class_list = list(_rank_classes(kept_ranks))
             widths = tuple(rc for rc, _ in class_list)
-            sels = [jnp.asarray(kept_idx[sk].astype(np.int32))
-                    for _, sk in class_list]
+            # chunk-local selections (row order preserved: chunks cover the
+            # global row range in ascending, disjoint slices)
+            bounds = np.cumsum([0] + [c[0].shape[0] for c in chunks])
+            class_sels = []
+            for _, sk in class_list:
+                gsel = kept_idx[sk]
+                class_sels.append([
+                    jnp.asarray((gsel[(gsel >= bounds[ci])
+                                      & (gsel < bounds[ci + 1])]
+                                 - bounds[ci]).astype(np.int32))
+                    for ci in range(len(chunks))])
             outs = _pack_classes_jit(widths, [c[0] for c in chunks],
-                                     [c[1] for c in chunks], sels)
+                                     [c[1] for c in chunks], class_sels)
             for (rclass, sk), (Ut_c, V_c) in zip(class_list, outs):
                 kept_lr_buckets.append(_subset_bucket(b, kept_idx[sk]))
                 lr_arrays.append(RankMajorFactors(Ut_c, V_c))
@@ -260,7 +269,7 @@ def assemble(plan: BlockPlan, generator, epsilon: float, reqrank: int = -1,
             t0 = time.perf_counter()
             rows_idx = _bucket_user_indices(perm_t, t_base, b, "t")
             cols_idx = _bucket_user_indices(perm_s, s_base, b, "s")
-            cap = _chunk_cap(b.pt * b.ps * 6)
+            cap = _chunk_cap(b.pt * b.ps * 6, dtype.itemsize)
             Ds = []
             for i0, i1, size in _chunk_slices(b.nb, cap):
                 ri, ci, tz, sz = _pad_chunk(rows_idx, cols_idx, b.t_sz,
@@ -406,14 +415,15 @@ def _warm_device_programs(plan, gen, epsilon, reqrank, dtype, cfg) -> None:
 
     for b in plan.lowrank_buckets:
         if b.pt * b.ps <= _DENSE_SVD_MAX:
-            cap = _chunk_cap(b.pt * b.ps * 32)
+            cap = _chunk_cap(b.pt * b.ps * 32, dtype.itemsize)
             for _, _, size in _chunk_slices(b.nb, cap):
                 add("svd", size, b.pt, b.ps)
         else:
             rmax = _bucket_rmax(b, cfg)
             stages = _aca_stages(rmax) if reqrank <= 0 else [rmax]
             for s_i, srm in enumerate(stages):
-                cap = _chunk_cap((b.pt + b.ps) * (srm + 16) * 2)
+                cap = _chunk_cap((b.pt + b.ps) * (srm + 16) * 2,
+                                 dtype.itemsize)
                 if s_i == 0:
                     for _, _, size in _chunk_slices(b.nb, cap):
                         add("aca", size, b.pt, b.ps, srm)
@@ -428,7 +438,7 @@ def _warm_device_programs(plan, gen, epsilon, reqrank, dtype, cfg) -> None:
                             break
                         s = max(8, s // 4)
     for b in plan.dense_buckets:
-        cap = _chunk_cap(b.pt * b.ps * 6)
+        cap = _chunk_cap(b.pt * b.ps * 6, dtype.itemsize)
         for _, _, size in _chunk_slices(b.nb, cap):
             add("dense", size, b.pt, b.ps)
 
@@ -494,27 +504,42 @@ def _stage2_chunk_size(nb: int, cap: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("widths",))
-def _pack_classes_jit(widths, chunk_Us, chunk_Vs, sels):
-    """Fused assembly post-pass for one bucket, ONE device program:
-    pad per-chunk factor widths to a common W, concatenate along the block
-    axis, then for every rank class gather its blocks, trim the rank axis
-    to the class width, and emit the STORAGE layout (rank-major Ut).
+def _pack_classes_jit(widths, chunk_Us, chunk_Vs, class_sels):
+    """Fused assembly post-pass for one bucket, ONE device program: for
+    every rank class, gather its blocks chunk by chunk (trimming / padding
+    each chunk's factor width to the class width), concatenate along the
+    block axis, and emit the STORAGE layout (rank-major Ut).
 
     Issued as a single jit call because the eager spelling (per-class
     gather + slice + astype + transpose) costs ~4 separate XLA programs
     per class — each a ~0.4 s compile/load over a remote TPU link — which
-    round 2 profiling showed dominating the whole assembly."""
-    W = max([u.shape[2] for u in chunk_Us] + [max(widths)])
-    U_all = jnp.concatenate(
-        [jnp.pad(u, ((0, 0), (0, 0), (0, W - u.shape[2])))
-         for u in chunk_Us])
-    V_all = jnp.concatenate(
-        [jnp.pad(v, ((0, 0), (0, W - v.shape[1]), (0, 0)))
-         for v in chunk_Vs])
+    round 2 profiling showed dominating the whole assembly.
+
+    Gathering per chunk (class_sels[class][chunk] = chunk-local indices)
+    rather than concatenating all chunks padded to the bucket-max width
+    keeps the transient footprint at ~the FINAL compressed size: the old
+    all-chunks-at-W concat peaked at nb * (pt + ps) * rmax — ~13 GB for
+    the Helmholtz N=100k complex config (the r03 RESOURCE_EXHAUSTED)."""
     outs = []
-    for w, sel in zip(widths, sels):
-        Ut = jnp.swapaxes(U_all[sel][:, :, :w], 1, 2)  # (m, w, pt)
-        outs.append((Ut, V_all[sel][:, :w, :]))
+    for w, parts in zip(widths, class_sels):
+        ut_parts, v_parts = [], []
+        for U, V, loc in zip(chunk_Us, chunk_Vs, parts):
+            if loc.shape[0] == 0:
+                continue
+            cw = U.shape[2]
+            Uw = U[loc]
+            Vw = V[loc]
+            if cw < w:
+                Uw = jnp.pad(Uw, ((0, 0), (0, 0), (0, w - cw)))
+                Vw = jnp.pad(Vw, ((0, 0), (0, w - cw), (0, 0)))
+            else:
+                Uw = Uw[:, :, :w]
+                Vw = Vw[:, :w, :]
+            ut_parts.append(jnp.swapaxes(Uw, 1, 2))  # (c, w, pt)
+            v_parts.append(Vw)
+        outs.append((
+            ut_parts[0] if len(ut_parts) == 1 else jnp.concatenate(ut_parts),
+            v_parts[0] if len(v_parts) == 1 else jnp.concatenate(v_parts)))
     return outs
 
 
@@ -549,7 +574,7 @@ def _device_lr_bucket(gen, b, rows_idx, cols_idx, epsilon, reqrank, dtype, cfg):
     if b.pt * b.ps <= _DENSE_SVD_MAX:
         # batched SVD/eigh expands its operand ~an order of magnitude in
         # workspace (the round-1 OOM shape) — budget with a large fudge
-        cap = _chunk_cap(b.pt * b.ps * 32)
+        cap = _chunk_cap(b.pt * b.ps * 32, dtype.itemsize)
         for i0, i1, size in _chunk_slices(b.nb, cap):
             ri, ci, tz, sz = _pad_chunk(rows_idx, cols_idx, b.t_sz, b.s_sz,
                                         i0, i1, size)
@@ -569,7 +594,8 @@ def _device_lr_bucket(gen, b, rows_idx, cols_idx, epsilon, reqrank, dtype, cfg):
         remaining = np.arange(b.nb)
         for s_i, srm in enumerate(stages):
             last = s_i == len(stages) - 1
-            cap = _chunk_cap((b.pt + b.ps) * (srm + 16) * 2)
+            cap = _chunk_cap((b.pt + b.ps) * (srm + 16) * 2,
+                                 dtype.itemsize)
             ri_all, ci_all = rows_idx[remaining], cols_idx[remaining]
             tz_all, sz_all = b.t_sz[remaining], b.s_sz[remaining]
             fail_parts: list[np.ndarray] = []

@@ -76,6 +76,7 @@ class HMatrix:
         self.dtype = np.dtype(dtype)
         self._factorization = None  # set by lu/cholesky_factorization
         self._dev_perms = None  # lazy device permutation cache
+        self._planes_cache = None  # complex64 re/im plane split (TPU path)
 
         nt, ns = plan.nb_rows, plan.nb_cols
         maxdim = max([b.pt for b in plan.dense_buckets + plan.lowrank_buckets]
@@ -116,6 +117,43 @@ class HMatrix:
 
     # ------------------------------------------------------------------
     # products
+    def _product_data(self):
+        """The data pytree products consume.  For unsymmetric complex64 on
+        a TPU-capable backend this is the cached re/im f32 plane split
+        (ops/matvec.py split_planes): the real fused Pallas kernel then
+        runs once per plane — the XLA complex gather/scatter path measured
+        ~20x slower at N=40000.  The cache doubles the operator's device
+        footprint while both representations are alive; products only ever
+        stream the planes."""
+        from ..config import get_config
+        from ..ops.matvec import planes_supported, split_planes
+
+        if self.dtype != np.complex64 or self.symmetry != "N":
+            return self._data
+        forced = get_config().matvec_backend
+        if forced == "xla" and self._data is not None:
+            return self._data  # explicit XLA override beats the cache
+        if self._planes_cache is None:
+            import jax
+            use = (forced == "pallas" or jax.default_backend() == "tpu")
+            if not use or not planes_supported(
+                    self._data, self._pad_len, 1, self.dtype,
+                    self.symmetry):
+                return self._data
+            self._planes_cache = split_planes(self._data)
+        return self._planes_cache
+
+    def compact_for_products(self) -> None:
+        """Release the assembly-layout complex bucket arrays once the
+        plane-split product representation exists (complex64, sym 'N', TPU
+        path): halves the operator's HBM footprint for matvec-only use.
+        Densification / recompression need the complex arrays — call this
+        only when the remaining work is products/solves.  No-op
+        otherwise."""
+        pd = self._product_data()
+        if pd is not self._data:
+            self._data = None
+
     def _apply_internal_2d(self, x2d, trans: str, data=None):
         """x2d: (nin, k) in internal numbering. Returns (nout, k).
 
@@ -124,13 +162,14 @@ class HMatrix:
         plan's target_offset.
 
         `data` overrides the bucket arrays (same pytree structure as
-        `self._data`): callers that jit an outer program pass the device
-        arrays as ARGUMENTS through this hook instead of closing over them
-        (the `operands` protocol, solvers/krylov.py `_bind_operator`), so
-        compiled programs are keyed by shapes only — never embedding the
-        H-matrix data as HLO constants."""
+        `self._data`, or a plane-split pytree): callers that jit an outer
+        program pass the device arrays as ARGUMENTS through this hook
+        instead of closing over them (the `operands` protocol,
+        solvers/krylov.py `_bind_operator`), so compiled programs are
+        keyed by shapes only — never embedding the H-matrix data as HLO
+        constants."""
         if data is None:
-            data = self._data
+            data = self._product_data()
         nt, ns = self.shape
         nin = ns if trans == "N" else nt
         nout = nt if trans == "N" else ns
@@ -188,9 +227,11 @@ class HMatrix:
         x2d = x[:, None] if squeeze else x
         nout = self.shape[0] if trans == "N" else self.shape[1]
         from ..ops.matvec import resolve_backend
-        backend = resolve_backend(self._data, self._pad_len, x2d.shape[1],
-                                  np.result_type(self.dtype, x.dtype))
-        y = apply_hmatrix_user(self._data, perm_in, inv_out, x2d,
+        data = self._product_data()
+        backend = resolve_backend(data, self._pad_len, x2d.shape[1],
+                                  np.result_type(self.dtype, x.dtype),
+                                  self.symmetry)
+        y = apply_hmatrix_user(data, perm_in, inv_out, x2d,
                                self._pad_len, trans, self.symmetry, nout,
                                backend)
         y = y[:, 0] if squeeze else y
@@ -289,6 +330,7 @@ class HMatrix:
         new.dtype = self.dtype
         new._factorization = None
         new._dev_perms = self._dev_perms  # immutable device arrays
+        new._planes_cache = self._planes_cache  # immutable device arrays
         new._pad_len = self._pad_len
         return new
 
@@ -402,6 +444,7 @@ class HMatrix:
             [d[0] for d in self._data["dense"]],
             self.plan.lowrank_buckets, lr_arrays)
         self._lr_ranks = [np.asarray(r) for r in lr_ranks]
+        self._planes_cache = None  # stale plane split
 
 
 class HMatrixTreeBuilder:

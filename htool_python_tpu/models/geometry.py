@@ -64,3 +64,13 @@ def create_partitioned_geometries(dimension: int, nb_rows: int, nb_cols: int,
     source[0, :] += 3.0 * (nb_partitions - 1) / 2.0
     source[1, :] += 3.0
     return [target, source, partition]
+
+
+def create_random_points_on_sphere(nb_points: int, rng=None) -> np.ndarray:
+    """Uniform points on the unit sphere SURFACE (a 2-D manifold in 3-D) —
+    the BEM-style geometry H-matrix solvers target: off-diagonal ranks of
+    smooth kernels stay moderate at scale, unlike volume clouds."""
+    rng = np.random if rng is None else rng
+    g = rng.randn(3, nb_points) if hasattr(rng, "randn") else \
+        rng.standard_normal((3, nb_points))
+    return g / np.linalg.norm(g, axis=0, keepdims=True)

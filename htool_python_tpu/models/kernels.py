@@ -53,3 +53,18 @@ def helmholtz_kernel(wavenumber: float, regularization: float = 1e-8):
         return jnp.exp(1j * wavenumber * r) / (4.0 * jnp.pi * r)
 
     return k
+
+
+def second_kind_kernel(shift: float = 1e-1, diagonal: float = 10.0):
+    """diagonal * I + 1 / (shift + |x - y|): a second-kind-integral-equation
+    style operator (identity plus smooth kernel) — well-conditioned at any
+    N, unlike the bare smooth kernel whose condition number grows without
+    bound.  The realistic regime for solver / factorization tests: an
+    f32 epsilon-accurate factorization of a cond ~1e5 operator cannot
+    solve below cond * eps regardless of algorithm."""
+
+    def k(x, y):
+        d = _dist(x, y)
+        return jnp.where(d <= 1e-12, diagonal, 0.0) + 1.0 / (shift + d)
+
+    return k

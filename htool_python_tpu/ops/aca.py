@@ -36,12 +36,14 @@ def _pow2_floor(n: int) -> int:
     return _pow2_ceil(n + 1) // 2 if n >= 1 else 1
 
 
-def _chunk_cap(per_block_elems: int) -> int:
+def _chunk_cap(per_block_elems: int, itemsize: int = 4) -> int:
     """Largest power-of-two batch size keeping one chunk's dominant operand
-    under the configured assembly memory budget."""
+    under the configured assembly memory budget.  The budget is calibrated
+    in f32 elements; wider dtypes (complex64/f64/complex128) get
+    proportionally smaller chunks so the BYTE footprint stays bounded."""
     from ..config import get_config
 
-    budget = get_config().assembly_chunk_elems
+    budget = (get_config().assembly_chunk_elems * 4) // max(int(itemsize), 4)
     return max(8, _pow2_floor(budget // max(per_block_elems, 1)))
 
 
@@ -95,7 +97,8 @@ def batched_aca(gen, t_idx, s_idx, t_sz, s_sz, rmax: int, eps: float,
     ps = s_idx.shape[1]
     ops = generator_operands(gen)
     # ACA state per block ~ pt*rmax + rmax*ps (+ generator row/col evals)
-    cap = _chunk_cap((pt + ps) * (int(rmax) + 16) * 2)
+    cap = _chunk_cap((pt + ps) * (int(rmax) + 16) * 2,
+                     np.dtype(dtype).itemsize)
     outs = []
     for i0, i1, size in _chunk_slices(nb, cap):
         c = i1 - i0
@@ -328,7 +331,7 @@ def batched_truncate(U, V, ranks, eps: float, reqrank: int = -1):
     eps_arr = jnp.asarray(eps, dtype=jnp.float64
                           if jax.config.jax_enable_x64 else jnp.float32)
     # peak operand per block ~ QR workspaces + factors: (pt + ps + 4r) * r
-    cap = _chunk_cap((pt + ps + 4 * r) * r)
+    cap = _chunk_cap((pt + ps + 4 * r) * r, U.dtype.itemsize)
     outs = []
     for i0, i1, size in _chunk_slices(nb, cap):
         c = i1 - i0

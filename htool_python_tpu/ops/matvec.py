@@ -168,22 +168,87 @@ def apply_hmatrix_padded(data, x_pad, ny_pad: int, trans: str, sym: str):
     return y
 
 
-def resolve_backend(data, L: int, k: int, x_dtype) -> str:
+def is_planes(data) -> bool:
+    """True for the {'cplanes': ...} plane-split marker pytree."""
+    return isinstance(data, dict) and "cplanes" in data
+
+
+def split_planes(data):
+    """Split complex bucket data into re/im f32 plane pairs per leaf —
+    the storage layout of the complex64 Pallas fast path (same total
+    bytes as the complex original).
+
+    The fused kernel streams both planes of each block once and forms the
+    complex product with explicit cross terms (ops/pallas_matvec.py
+    _cterm_fwd/_cterm_tr) — low-rank blocks need this, since
+    Re(U V) = Re(U)Re(V) - Im(U)Im(V) does not decompose plane-wise."""
+    def split(buckets):
+        out = []
+        for entry in buckets:
+            *mats, t, s, m = entry
+            planes = []
+            for a in mats:
+                planes.append(jnp.real(a).astype(jnp.float32))
+                planes.append(jnp.imag(a).astype(jnp.float32))
+            out.append(tuple(planes) + (t, s, m))
+        return out
+
+    return {"cplanes": {"dense": split(data["dense"]),
+                        "lr": split(data["lr"])}}
+
+
+def _apply_planes(cdata, x_pad, ny_pad: int, trans: str, sym: str,
+                  interpret: bool):
+    """Complex product through the plane-split fused kernel."""
+    from .pallas_matvec import apply_hmatrix_pallas_complex
+
+    return apply_hmatrix_pallas_complex(cdata, x_pad, ny_pad, trans,
+                                        interpret=interpret)
+
+
+def planes_supported(data, L: int, k: int, x_dtype, sym: str) -> bool:
+    """complex64 Pallas fast path applicability: unsymmetric storage (an
+    'H' mirror needs an antisymmetric mode the kernel does not carry) and
+    the plane-pair windows must fit the kernel's VMEM budget."""
+    from .pallas_matvec import _bucket_sizes, _group_size, \
+        _step_bytes_budget, _VMEM_BUDGET
+
+    dtypes = ([d[0].dtype for d in data["dense"]]
+              + [u.dtype for u, *_ in data["lr"]])
+    if not dtypes or sym != "N":
+        return False
+    if not all(dt == jnp.complex64 for dt in dtypes):
+        return False
+    if jnp.dtype(x_dtype) not in (jnp.dtype(jnp.complex64),
+                                  jnp.dtype(jnp.float32)):
+        return False
+    vec_bytes = 2 * (2 * k) * max(L, 128) * 4
+    sizes = _bucket_sizes(data, 8)  # plane pair = the full complex bytes
+    step_bytes = _step_bytes_budget(len(sizes))
+    blk_bytes = sum(_group_size(per, nb, step_bytes) * per
+                    for per, nb in sizes)
+    return vec_bytes + 2 * blk_bytes < _VMEM_BUDGET
+
+
+def resolve_backend(data, L: int, k: int, x_dtype, sym: str = "N") -> str:
     """Pick the product backend OUTSIDE any jit (so the choice is part of
-    the compile key): Pallas kernels on TPU for real dtypes that fit VMEM
-    (ops/pallas_matvec.py), the XLA gather/scatter path otherwise (CPU
-    tests, f64 parity runs, complex)."""
+    the compile key): Pallas kernels on TPU for real f32 that fits VMEM
+    (ops/pallas_matvec.py), the two-plane Pallas path for unsymmetric
+    complex64, the XLA gather/scatter path otherwise (CPU tests, f64
+    parity runs, symmetric complex)."""
     from ..config import get_config
     from .pallas_matvec import pallas_supported
 
+    if is_planes(data):
+        return "planes"
     forced = get_config().matvec_backend
     if forced == "xla":
         return "xla"
-    if forced == "pallas":
-        return "pallas" if pallas_supported(data, L, k, x_dtype) else "xla"
-    if jax.default_backend() == "tpu" and pallas_supported(data, L, k,
-                                                           x_dtype):
-        return "pallas"
+    if forced == "pallas" or jax.default_backend() == "tpu":
+        if pallas_supported(data, L, k, x_dtype):
+            return "pallas"
+        if planes_supported(data, L, k, x_dtype, sym):
+            return "planes"
     return "xla"
 
 
@@ -194,10 +259,17 @@ def apply_hmatrix(data, x_pad, ny_pad: int, trans: str, sym: str,
 
     if backend is None:
         backend = resolve_backend(data, x_pad.shape[0], x_pad.shape[1],
-                                  x_pad.dtype)
+                                  x_pad.dtype, sym)
+    interpret = jax.default_backend() != "tpu"
+    if backend == "planes":
+        cdata = data["cplanes"] if is_planes(data) else \
+            split_planes(data)["cplanes"]
+        return _apply_planes(cdata, x_pad, ny_pad, trans, sym, interpret)
+    if is_planes(data):
+        raise ValueError("plane-split data requires the 'planes' backend")
     if backend == "pallas":
         return apply_hmatrix_pallas(data, x_pad, ny_pad, trans, sym,
-                                    interpret=jax.default_backend() != "tpu")
+                                    interpret=interpret)
     return apply_hmatrix_padded(data, x_pad, ny_pad, trans, sym)
 
 
@@ -210,9 +282,12 @@ def apply_hmatrix_user(data, perm_in, inv_perm_out, x2d, pad_len: int,
     permute in -> pad -> bucketed product -> un-permute.  Keeping the
     permutations inside the jit means a full matvec is a single dispatch
     and operands stay device-resident across Krylov iterations."""
-    dtype = jnp.result_type(x2d.dtype,
-                            *(d[0].dtype for d in data["dense"]),
-                            *(u[0].dtype for u in data["lr"]))
+    if is_planes(data):
+        dtype = jnp.result_type(x2d.dtype, jnp.complex64)
+    else:
+        dtype = jnp.result_type(x2d.dtype,
+                                *(d[0].dtype for d in data["dense"]),
+                                *(u[0].dtype for u in data["lr"]))
     x_int = x2d[perm_in].astype(dtype)
     x_pad = jnp.zeros((pad_len, x2d.shape[1]), dtype=dtype)
     x_pad = x_pad.at[:x_int.shape[0]].set(x_int)

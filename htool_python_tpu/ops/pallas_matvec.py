@@ -27,6 +27,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -35,42 +36,23 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 64 * 1024 * 1024
 
 
-def _dot(a, b, dims, dtype):
-    return jax.lax.dot_general(a, b, (dims, ((), ())),
-                               preferred_element_type=jnp.float32).astype(dtype)
-
-
 # Contraction engine choice.  With few RHS columns (k < _MXU_MIN_K) each
 # per-block dot is a (k, ps) x (ps, pt) sliver: the MXU pays its full
 # pipeline latency (plus the multi-pass f32 emulation) for 1/128th of its
 # throughput, and the serialized per-block dots — not HBM bandwidth —
 # dominate the product (r03 measurement: halving stored bytes left the
-# matvec time unchanged).  The VPU formulation below instead computes
-# broadcast-multiply + axis-reduce, which streams the block data from VMEM
-# at register rate with no MXU latency per block; for k = 1 the total VPU
-# work is ~bytes/4KB cycles, far below the HBM DMA floor.  Large k keeps
-# the MXU path (the dot amortizes across columns).
+# matvec time unchanged).  Small k instead computes broadcast-multiply +
+# axis-reduce on the VPU, batched over the whole grid step's blocks (see
+# _term_fwd/_term_tr); large k keeps batched MXU dots (they amortize
+# across columns).
 _MXU_MIN_K = 8
 
 
-def _contract_right(A, x, dtype):
-    """x (k, w_in) x A (w_out, w_in) -> (k, w_out), contracting w_in
-    (= A @ x per column).  VPU multiply-reduce for small k."""
-    k = x.shape[0]
-    if k >= _MXU_MIN_K:
-        return _dot(x, A, ((1,), (1,)), dtype)
-    rows = [jnp.sum(A * x[kk][None, :], axis=-1) for kk in range(k)]
-    return jnp.stack(rows).astype(dtype)
-
-
-def _contract_left(A, x, dtype):
-    """x (k, w_in) x A (w_in, w_out) -> (k, w_out), contracting w_in
-    (= A^T @ x per column).  VPU multiply-reduce for small k."""
-    k = x.shape[0]
-    if k >= _MXU_MIN_K:
-        return _dot(x, A, ((1,), (0,)), dtype)
-    rows = [jnp.sum(A * x[kk][:, None], axis=0) for kk in range(k)]
-    return jnp.stack(rows).astype(dtype)
+# Timing probes for tools/profile_matvec2.py — they produce WRONG results
+# and exist only to attribute kernel time (rotate cost / dynamic-address
+# cost); production entry points never set them.
+_PROF_NO_ROTATE = False   # skip lane rotates in load/accum
+_PROF_STATIC_OFF = False  # ignore offsets entirely (slice at 0)
 
 
 # Mosaic requires dynamic lane-dimension slice offsets to be provable
@@ -88,31 +70,70 @@ def _win_width(width: int) -> int:
 
 def _load_seg(x_ref, off, width: int):
     """x_ref[:, off:off+width] with an arbitrary dynamic offset."""
+    if _PROF_STATIC_OFF:
+        return x_ref[:, :width]
     W = _win_width(width)
     base = pl.multiple_of((off // 128) * 128, 128)
     win = x_ref[:, pl.ds(base, W)]
+    if _PROF_NO_ROTATE:
+        return win[:, :width]
     sh = off - base  # 0..127
     return pltpu.roll(win, W - sh, 1)[:, :width]
 
 
 def _accum_seg(y_ref, off, width: int, acc):
     """y_ref[:, off:off+width] += acc with an arbitrary dynamic offset."""
+    if _PROF_STATIC_OFF:
+        y_ref[:, :width] = y_ref[:, :width] + acc
+        return
     W = _win_width(width)
     base = pl.multiple_of((off // 128) * 128, 128)
     win = y_ref[:, pl.ds(base, W)]
-    sh = off - base
     buf = jnp.pad(acc, ((0, 0), (0, W - acc.shape[1])))
+    if _PROF_NO_ROTATE:
+        y_ref[:, pl.ds(base, W)] = win + buf
+        return
+    sh = off - base
     y_ref[:, pl.ds(base, W)] = win + pltpu.roll(buf, sh, 1)
 
 
 # target bytes of block data per grid step: large enough to amortize the
-# per-step pipeline overhead, small enough to double-buffer in VMEM
-_STEP_BYTES = 1 << 18
+# per-step pipeline overhead (r04 attribution: ~0.85 us fixed cost per
+# step — 256K steps left 1.1 ms on the table at N=40000), small enough
+# that every bucket's double-buffered window still fits VMEM (the budget
+# is shared across buckets, see _step_bytes_budget)
+_STEP_BYTES = 1 << 20
+
+# unroll bound for the per-step block loop (the gather/scatter rotates are
+# per-block; the compute is batched across the whole step)
+_MAX_GROUP = 64
 
 
-def _group_size(per_block_bytes: int, nb: int) -> int:
-    G = max(1, _STEP_BYTES // max(per_block_bytes, 1))
-    return int(min(G, 256, nb))
+def _step_bytes_budget(n_buckets: int) -> int:
+    """Per-bucket step-window byte target: the fused kernel keeps every
+    bucket's double-buffered step window resident at once, so the VMEM
+    budget is split across buckets (floor 256K keeps steps amortized)."""
+    share = (_VMEM_BUDGET // 3) // max(n_buckets, 1)
+    return max(1 << 18, min(_STEP_BYTES, share))
+
+
+def _group_size(per_block_bytes: int, nb: int, step_bytes: int) -> int:
+    G = max(1, step_bytes // max(per_block_bytes, 1))
+    return int(min(G, _MAX_GROUP, nb))
+
+
+def _bucket_sizes(data, itemsize):
+    """(per_block_bytes, nb) per bucket, dense first then low-rank (the
+    iteration order apply_hmatrix_pallas uses)."""
+    out = []
+    for d in data["dense"]:
+        nb, pt, ps = d[0].shape
+        out.append((pt * ps * itemsize, nb))
+    for u, v, *_ in data["lr"]:
+        nb = u.shape[0]
+        out.append(((u.shape[1] * u.shape[2] + v.shape[1] * v.shape[2])
+                    * itemsize, nb))
+    return out
 
 
 def pallas_supported(data, L: int, k: int, x_dtype) -> bool:
@@ -127,16 +148,144 @@ def pallas_supported(data, L: int, k: int, x_dtype) -> bool:
     vec_bytes = 2 * k * max(L, 128) * itemsize
     # the fused kernel holds EVERY bucket's current step block (double
     # buffered) in VMEM simultaneously
-    blk_bytes = 0
-    for d in data["dense"]:
-        nb, pt, ps = d[0].shape
-        per = pt * ps * itemsize
-        blk_bytes += _group_size(per, nb) * per
-    for u, v, *_ in data["lr"]:
-        nb = u.shape[0]
-        per = (u.shape[1] * u.shape[2] + v.shape[1] * v.shape[2]) * itemsize
-        blk_bytes += _group_size(per, nb) * per
+    sizes = _bucket_sizes(data, itemsize)
+    step_bytes = _step_bytes_budget(len(sizes))
+    blk_bytes = sum(_group_size(per, nb, step_bytes) * per
+                    for per, nb in sizes)
     return vec_bytes + 2 * blk_bytes < _VMEM_BUDGET
+
+
+def _term_fwd(kind, blocks, xg, dtype):
+    """Batched forward block application for one grid step.
+
+    xg (G, k, ps) -> (G, k, pt): dense y = D x; low-rank y = U (V x).
+    k < _MXU_MIN_K uses the VPU broadcast-multiply-reduce (full-width
+    vector ops over the whole step's blocks — per-block (1, w) slivers
+    waste 7/8 of the sublanes, measured as the dominant kernel cost in
+    r04 attribution); larger k uses batched MXU dots."""
+    k = xg.shape[1]
+    if kind == "dense":
+        D = blocks[0][...]  # (G, pt, ps)
+        if k >= _MXU_MIN_K:
+            return jax.lax.dot_general(
+                xg, D, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(dtype)
+        # slices only: int/None mixed indexing lowers to an (unsupported)
+        # multi-dim gather in Mosaic
+        cols = [jnp.sum(D * xg[:, kk:kk + 1, :], axis=-1)
+                for kk in range(k)]
+        return jnp.stack(cols, axis=1).astype(dtype)  # (G, k, pt)
+    U = blocks[0][...]  # (G, r, pt)
+    V = blocks[1][...]  # (G, r, ps)
+    if k >= _MXU_MIN_K:
+        w = jax.lax.dot_general(xg, V, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(
+            w, U, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dtype)
+    cols = []
+    for kk in range(k):
+        w = jnp.sum(V * xg[:, kk:kk + 1, :], axis=-1)  # (G, r)
+        cols.append(jnp.sum(U * w[:, :, None], axis=1))  # (G, pt)
+    return jnp.stack(cols, axis=1).astype(dtype)
+
+
+def _term_tr(kind, blocks, xt, dtype):
+    """Batched transposed block application: xt (G, k, pt) -> (G, k, ps)
+    (real dtypes: 'T' == 'C')."""
+    k = xt.shape[1]
+    if kind == "dense":
+        D = blocks[0][...]
+        if k >= _MXU_MIN_K:
+            return jax.lax.dot_general(
+                xt, D, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(dtype)
+        cols = [jnp.sum(D * jnp.swapaxes(xt[:, kk:kk + 1, :], 1, 2), axis=1)
+                for kk in range(k)]
+        return jnp.stack(cols, axis=1).astype(dtype)
+    U = blocks[0][...]  # (G, r, pt)
+    V = blocks[1][...]  # (G, r, ps)
+    if k >= _MXU_MIN_K:
+        w = jax.lax.dot_general(xt, U, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(
+            w, V, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dtype)
+    cols = []
+    for kk in range(k):
+        w = jnp.sum(U * xt[:, kk:kk + 1, :], axis=-1)  # (G, r)
+        cols.append(jnp.sum(V * w[:, :, None], axis=1))  # (G, ps)
+    return jnp.stack(cols, axis=1).astype(dtype)
+
+
+def _cterm_fwd(kind, blocks, xg, dtype, csign):
+    """Batched complex forward application over plane pairs for one grid
+    step: xg (G, 2k, ps) stacked [Re | Im] columns -> (G, 2k, pt).
+
+    csign = -1 conjugates the operator (negates the imaginary planes) —
+    static, so the sign folds into the multiply.  All contractions are
+    VPU broadcast-multiply-reduce: complex arithmetic is 2x MACs/byte,
+    still far under the HBM DMA floor for small k."""
+    k = xg.shape[1] // 2
+    if kind == "cdense":
+        Dr = blocks[0][...]
+        Di = blocks[1][...] if csign > 0 else -blocks[1][...]
+        res, ims = [], []
+        for kk in range(k):
+            xr = xg[:, kk:kk + 1, :]
+            xi = xg[:, k + kk:k + kk + 1, :]
+            res.append(jnp.sum(Dr * xr - Di * xi, axis=-1))
+            ims.append(jnp.sum(Dr * xi + Di * xr, axis=-1))
+        return jnp.stack(res + ims, axis=1).astype(dtype)
+    Ur = blocks[0][...]  # (G, r, pt)
+    Ui = blocks[1][...] if csign > 0 else -blocks[1][...]
+    Vr = blocks[2][...]  # (G, r, ps)
+    Vi = blocks[3][...] if csign > 0 else -blocks[3][...]
+    res, ims = [], []
+    for kk in range(k):
+        xr = xg[:, kk:kk + 1, :]
+        xi = xg[:, k + kk:k + kk + 1, :]
+        w_re = jnp.sum(Vr * xr - Vi * xi, axis=-1)  # (G, r)
+        w_im = jnp.sum(Vr * xi + Vi * xr, axis=-1)
+        res.append(jnp.sum(Ur * w_re[:, :, None] - Ui * w_im[:, :, None],
+                           axis=1))
+        ims.append(jnp.sum(Ur * w_im[:, :, None] + Ui * w_re[:, :, None],
+                           axis=1))
+    return jnp.stack(res + ims, axis=1).astype(dtype)
+
+
+def _cterm_tr(kind, blocks, xt, dtype, csign):
+    """Batched complex transposed application: xt (G, 2k, pt) -> (G, 2k,
+    ps).  With csign = -1 this is the conjugate transpose."""
+    k = xt.shape[1] // 2
+    if kind == "cdense":
+        Dr = blocks[0][...]
+        Di = blocks[1][...] if csign > 0 else -blocks[1][...]
+        res, ims = [], []
+        for kk in range(k):
+            xr = jnp.swapaxes(xt[:, kk:kk + 1, :], 1, 2)  # (G, pt, 1)
+            xi = jnp.swapaxes(xt[:, k + kk:k + kk + 1, :], 1, 2)
+            res.append(jnp.sum(Dr * xr - Di * xi, axis=1))  # (G, ps)
+            ims.append(jnp.sum(Dr * xi + Di * xr, axis=1))
+        return jnp.stack(res + ims, axis=1).astype(dtype)
+    Ur = blocks[0][...]  # (G, r, pt)
+    Ui = blocks[1][...] if csign > 0 else -blocks[1][...]
+    Vr = blocks[2][...]  # (G, r, ps)
+    Vi = blocks[3][...] if csign > 0 else -blocks[3][...]
+    res, ims = [], []
+    for kk in range(k):
+        xr = xt[:, kk:kk + 1, :]
+        xi = xt[:, k + kk:k + kk + 1, :]
+        w_re = jnp.sum(Ur * xr - Ui * xi, axis=-1)  # (G, r)
+        w_im = jnp.sum(Ur * xi + Ui * xr, axis=-1)
+        res.append(jnp.sum(Vr * w_re[:, :, None] - Vi * w_im[:, :, None],
+                           axis=1))
+        ims.append(jnp.sum(Vr * w_im[:, :, None] + Vi * w_re[:, :, None],
+                           axis=1))
+    return jnp.stack(res + ims, axis=1).astype(dtype)
+
+
+_N_BLOCKS = {"dense": 1, "lr": 2, "cdense": 2, "clr": 4}
 
 
 def _fused_kernel(bucket_meta, *refs):
@@ -145,7 +294,11 @@ def _fused_kernel(bucket_meta, *refs):
     (same block index -> the pipeline skips the DMA), so each step streams
     only the active bucket's blocks.  Fusing all buckets into one
     pallas_call removes the per-launch dispatch + output-combine cost of
-    ~25 separate kernels (measured ~1 ms of a 2.7 ms N=40000 matvec)."""
+    ~25 separate kernels (measured ~1 ms of a 2.7 ms N=40000 matvec).
+
+    Within a step only the gather/scatter rotates are per-block (they need
+    per-block dynamic lane offsets); the block math runs ONCE, batched
+    over all G blocks of the step."""
     n_scalar = 3 * len(bucket_meta)
     scalars = refs[:n_scalar]
     rest = refs[n_scalar:]
@@ -157,70 +310,48 @@ def _fused_kernel(bucket_meta, *refs):
         y_ref[:] = jnp.zeros_like(y_ref)
 
     blk_pos = 0
-    for b, (kind, start, steps, G, dims, swapped, sym) in \
+    for b, (kind, start, steps, G, dims, swapped, sym, csign) in \
             enumerate(bucket_meta):
         t_off, s_off, mir = scalars[3 * b:3 * b + 3]
-        if kind == "dense":
-            blocks = rest[blk_pos:blk_pos + 1]
-            blk_pos += 1
-        else:
-            blocks = rest[blk_pos:blk_pos + 2]
-            blk_pos += 2
+        nblk = _N_BLOCKS[kind]
+        blocks = rest[blk_pos:blk_pos + nblk]
+        blk_pos += nblk
 
         @pl.when((i >= start) & (i < start + steps))
         def _(kind=kind, start=start, G=G, dims=dims, blocks=blocks,
               t_off=t_off, s_off=s_off, mir=mir, swapped=swapped, sym=sym,
-              i=i):
+              csign=csign, i=i):
             j0 = (i - start) * G
-
-            def body(j, carry):
-                to, so = t_off[j0 + j], s_off[j0 + j]
-                dtype = y_ref.dtype
-                if kind == "dense":
-                    pt, ps = dims
-                    D = blocks[0][j]
-
-                    def main():
-                        xs = _load_seg(x_ref, so, ps)
-                        _accum_seg(y_ref, to, pt,
-                                   _contract_right(D, xs, dtype))
-
-                    def mirror():
-                        xt = _load_seg(x_ref, to, pt)
-                        _accum_seg(y_ref, so, ps,
-                                   _contract_left(D, xt, dtype))
-                else:
-                    pt, r, ps = dims
-                    U = blocks[0][j]  # (r, pt)
-                    V = blocks[1][j]  # (r, ps)
-
-                    def main():
-                        xs = _load_seg(x_ref, so, ps)
-                        w = _contract_right(V, xs, dtype)
-                        _accum_seg(y_ref, to, pt,
-                                   _contract_left(U, w, dtype))
-
-                    def mirror():
-                        xt = _load_seg(x_ref, to, pt)
-                        w = _contract_right(U, xt, dtype)
-                        _accum_seg(y_ref, so, ps,
-                                   _contract_left(V, w, dtype))
-
-                if not swapped:
-                    main()
-                    if sym:
-                        @pl.when(mir[j0 + j] != 0)
-                        def _():
-                            mirror()
-                else:
-                    mirror()
-                    if sym:
-                        @pl.when(mir[j0 + j] != 0)
-                        def _():
-                            main()
-                return carry
-
-            jax.lax.fori_loop(0, G, body, 0)
+            dtype = y_ref.dtype
+            pt = dims[0]
+            ps = dims[-1]
+            cplx = kind in ("cdense", "clr")
+            # main term: apply B ('N') / B^T (swapped); mirror term (only
+            # for symmetric storage) applies the opposite direction at the
+            # reflected offsets, masked per block by `mir`
+            in_off, in_w = (s_off, ps) if not swapped else (t_off, pt)
+            out_off, out_w = (t_off, pt) if not swapped else (s_off, ps)
+            xg = jnp.stack([_load_seg(x_ref, in_off[j0 + g], in_w)
+                            for g in range(G)])  # (G, k, in_w)
+            if cplx:
+                term = _cterm_fwd if not swapped else _cterm_tr
+                out = term(kind, blocks, xg, dtype, csign)
+            else:
+                term = _term_fwd if not swapped else _term_tr
+                out = term(kind, blocks, xg, dtype)  # (G, k, out_w)
+            k = xg.shape[1]
+            for g in range(G):
+                _accum_seg(y_ref, out_off[j0 + g], out_w,
+                           out[g:g + 1].reshape(k, out_w))
+            if sym:
+                xm = jnp.stack([_load_seg(x_ref, out_off[j0 + g], out_w)
+                                for g in range(G)])
+                mterm = _term_tr if not swapped else _term_fwd
+                outm = mterm(kind, blocks, xm, dtype)  # (G, k, in_w)
+                for g in range(G):
+                    _accum_seg(y_ref, in_off[j0 + g], in_w,
+                               outm[g:g + 1].reshape(k, in_w)
+                               * mir[j0 + g].astype(dtype))
 
 
 @partial(jax.jit, static_argnames=("ny_pad", "trans", "sym", "interpret"))
@@ -234,12 +365,52 @@ def apply_hmatrix_pallas(data, x_pad, ny_pad: int, trans: str, sym: str,
     """
     swapped = trans != "N"
     symmetric = sym != "N"
+    entries = ([("dense", (D,), t, s, m)
+                for D, t, s, m in data["dense"]]
+               + [("lr", (U, V), t, s, m)
+                  for U, V, t, s, m in data["lr"]])
+    if not entries:
+        return x_pad * 0
     xT = jnp.swapaxes(x_pad, 0, 1)  # (k, L): minor dim dense across lanes
-    k, L = xT.shape
+    yT = _launch_fused(entries, xT, swapped, symmetric, 1.0, interpret)
+    return jnp.swapaxes(yT, 0, 1)
 
-    bucket_meta = []   # (kind, start, steps, G, dims, swapped, sym)
+
+@partial(jax.jit, static_argnames=("ny_pad", "trans", "interpret"))
+def apply_hmatrix_pallas_complex(cdata, x_pad, ny_pad: int, trans: str,
+                                 interpret: bool = False):
+    """complex64 product through the plane-split fused kernel
+    (ops/matvec.py split_planes layout; unsymmetric storage only).
+
+    x_pad: (L, k) complex padded input.  The kernel streams each block's
+    re/im f32 plane pair once (same bytes as the complex original) and
+    forms the complex product with explicit cross terms on the stacked
+    real RHS [Re(x) | Im(x)]; 'C' conjugates by negating the imaginary
+    planes (static csign)."""
+    k = x_pad.shape[1]
+    entries = ([("cdense", (Dr, Di), t, s, m)
+                for Dr, Di, t, s, m in cdata["dense"]]
+               + [("clr", (Ur, Ui, Vr, Vi), t, s, m)
+                  for Ur, Ui, Vr, Vi, t, s, m in cdata["lr"]])
+    if not entries:
+        return x_pad * 0
+    x2 = jnp.concatenate([jnp.real(x_pad), jnp.imag(x_pad)],
+                         axis=1).astype(jnp.float32)
+    xT = jnp.swapaxes(x2, 0, 1)  # (2k, L)
+    csign = -1.0 if trans == "C" else 1.0
+    yT = _launch_fused(entries, xT, trans != "N", False, csign, interpret)
+    y2 = jnp.swapaxes(yT, 0, 1)  # (L, 2k)
+    return (y2[:, :k] + 1j * y2[:, k:]).astype(x_pad.dtype)
+
+
+def _launch_fused(entries, xT, swapped, symmetric, csign, interpret):
+    """Shared plumbing of the fused single-launch product: bucket windows,
+    frozen index maps, scalar prefetch, one pallas_call.  xT is the
+    transposed (k, L) real input; returns yT (k, L)."""
+    k, L = xT.shape
+    bucket_meta = []   # (kind, start, steps, G, dims, swapped, sym, csign)
     scalar_args = []   # t_off, s_off, mir per bucket (padded to G multiple)
-    block_args = []    # D | U, V per bucket (padded)
+    block_args = []    # per-bucket block arrays (padded)
     in_specs = []
     start = 0
 
@@ -255,29 +426,24 @@ def apply_hmatrix_pallas(data, x_pad, ny_pad: int, trans: str, sym: str,
             mir = jnp.pad(mir, (0, p))
         return blocks, t_off, s_off, mir, nb_pad
 
-    entries = ([("dense", (D,), t, s, m)
-                for D, t, s, m in data["dense"]]
-               + [("lr", (U, V), t, s, m)
-                  for U, V, t, s, m in data["lr"]])
-    if not entries:
-        return x_pad * 0
-
+    step_bytes = _step_bytes_budget(len(entries))
     for kind, blocks, t_off, s_off, mir in entries:
-        if kind == "dense":
+        if kind in ("dense", "cdense"):
             nb, pt, ps = blocks[0].shape
-            per = pt * ps * blocks[0].dtype.itemsize
             dims = (pt, ps)
         else:
             nb, r, pt = blocks[0].shape
-            ps = blocks[1].shape[2]
-            per = r * (pt + ps) * blocks[0].dtype.itemsize
+            ps = blocks[-1].shape[2]
             dims = (pt, r, ps)
-        G = _group_size(per, nb)
+        per = sum(int(np.prod(b.shape[1:])) * b.dtype.itemsize
+                  for b in blocks)
+        G = _group_size(per, nb, step_bytes)
         blocks, t_off, s_off, mir, nb_pad = pad_bucket(
             blocks, jnp.asarray(t_off, jnp.int32),
             jnp.asarray(s_off, jnp.int32), jnp.asarray(mir, jnp.int32), G)
         steps = nb_pad // G
-        bucket_meta.append((kind, start, steps, G, dims, swapped, symmetric))
+        bucket_meta.append((kind, start, steps, G, dims, swapped, symmetric,
+                            csign))
         scalar_args.extend([t_off, s_off, mir])
         for b in blocks:
             # frozen index map: constant block index outside this bucket's
@@ -297,7 +463,7 @@ def apply_hmatrix_pallas(data, x_pad, ny_pad: int, trans: str, sym: str,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((k, L), lambda i, *_: (0, 0)),
     )
-    yT = pl.pallas_call(
+    return pl.pallas_call(
         partial(_fused_kernel, bucket_meta),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, L), xT.dtype),
@@ -307,4 +473,3 @@ def apply_hmatrix_pallas(data, x_pad, ny_pad: int, trans: str, sym: str,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*scalar_args, *block_args, xT)
-    return jnp.swapaxes(yT, 0, 1)

@@ -195,7 +195,7 @@ class DistributedOperator:
                     h = op.hmatrix
                     fn = (lambda data, seg, _h=h:
                           _h.matvec_internal(seg, "N", data=data))
-                    piece_data.append(h._data)
+                    piece_data.append(h._product_data())
                     op_dtypes.append(h.dtype)
                 else:
                     fn = (lambda data, seg: data @ seg)

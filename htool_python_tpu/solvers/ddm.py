@@ -32,10 +32,15 @@ from .options import DEFAULTS, parse_hpddm_args
 
 
 class _Subdomain:
-    """Per-partition overlapping subdomain description (user numbering)."""
+    """Per-partition overlapping subdomain description (user numbering).
+
+    `internal_ordering=True` marks subdomains whose dof order is the
+    H-matrix's cluster-internal order (block-Jacobi subdomains cut from the
+    partition diagonal) rather than the H-matrix's own user order."""
 
     def __init__(self, ovr_to_global, cluster_to_ovr, neighbors, intersections,
-                 local_matrix=None, local_hmatrix=None):
+                 local_matrix=None, local_hmatrix=None,
+                 internal_ordering=False):
         self.ovr_to_global = np.asarray(ovr_to_global, dtype=np.int64)
         self.cluster_to_ovr = np.asarray(cluster_to_ovr, dtype=np.int64)
         self.neighbors = np.asarray(neighbors, dtype=np.int64)
@@ -43,10 +48,17 @@ class _Subdomain:
                               for i in (intersections or [])]
         self.local_matrix = local_matrix  # dense (m, m) ndarray
         self.local_hmatrix = local_hmatrix  # HMatrix over the subdomain
+        self.internal_ordering = internal_ordering
 
     @property
     def size(self) -> int:
         return len(self.ovr_to_global)
+
+    @property
+    def dtype(self):
+        if self.local_matrix is not None:
+            return self.local_matrix.dtype
+        return self.local_hmatrix.dtype
 
     def partition_of_unity(self) -> np.ndarray:
         """Boolean POU: 1 on owned (cluster) dofs, 0 on ghost overlap."""
@@ -57,7 +69,54 @@ class _Subdomain:
     def dense_matrix(self) -> np.ndarray:
         if self.local_matrix is not None:
             return self.local_matrix
+        if self.internal_ordering:
+            return self.local_hmatrix.to_dense()
         return self.local_hmatrix.to_dense_in_user_numbering()
+
+
+class _HierLocalSolver:
+    """Traceable H-LU local solve for one subdomain (the reference's
+    `HPDDMCustomLocalSolver` tier, solver/solver.hpp:16).
+
+    Wraps a factorized HMatrix (HODLR-Woodbury chain, or batched dense LU
+    when the hierarchical build fell back) with its factor arrays exposed
+    as an operand pytree; `solve(ops, b2d)` maps the subdomain's dof order
+    (= the H-matrix's user order, or internal order for partition-diagonal
+    block-Jacobi subdomains) through the factorization."""
+
+    def __init__(self, h, internal_ordering: bool):
+        self.dtype = h.dtype
+        self.kind = h._factorization[0]
+        if self.kind == "hodlr":
+            f = h._factorization[1]
+            self.static = (f.hodlr.L, f.hodlr.n, f.hodlr.n_pad)
+            self.operands = (f.lu_d, f.piv_d, tuple(f.hodlr.levels),
+                             tuple(f.facts))
+        else:  # "lu" dense fallback
+            _, lu, piv = h._factorization
+            self.operands = (lu, piv)
+        if internal_ordering or not h.is_root():
+            self.perm = None
+        else:
+            self.perm = jnp.asarray(h.plan.target_root.get_permutation())
+
+    def solve(self, ops, b2d):
+        if self.perm is not None:
+            b2d = b2d[self.perm]
+        if self.kind == "hodlr":
+            from ..ops.hodlr import _solve_padded
+            lu_d, piv_d, levels, facts = ops
+            L, nloc, n_pad = self.static
+            xp = jnp.zeros((n_pad, b2d.shape[1]),
+                           dtype=jnp.result_type(b2d.dtype, lu_d.dtype))
+            xp = xp.at[:nloc].set(b2d)
+            x = _solve_padded(lu_d, piv_d, levels, facts, xp, L, "N")[:nloc]
+        else:
+            lu, piv = ops
+            x = jsl.lu_solve((lu, piv), b2d)
+        if self.perm is not None:
+            x = jnp.zeros_like(x).at[self.perm].set(x)
+        return x
 
 
 class DDMSolver:
@@ -69,7 +128,9 @@ class DDMSolver:
         self.distributed_operator = distributed_operator
         self.subdomains = subdomains
         self.options = dict(DEFAULTS)
-        self._facto = None  # (lu (P,mp,mp), piv (P,mp), idx_pad, mp)
+        self._facto = None  # dense tier: (lu (P,mp,mp), piv, idx_pad, mp)
+        self._hier = []  # hierarchical tier (H-LU local solves)
+        self._facto_done = False
         self._weights = None  # {'ras': (P,mp), 'asm': (P,mp)} device arrays
         self._coarse = None  # (Z (n, nc) numpy, scipy E_lu) — host path
         self._coarse_dev = None  # (Z device, jax E_lu) — device path
@@ -80,50 +141,114 @@ class DDMSolver:
         parse_hpddm_args(args, into=self.options)
 
     def facto_one_level(self) -> None:
-        """Batched LU of every (padded) subdomain matrix on device."""
-        P = len(self.subdomains)
-        mp = max(s.size for s in self.subdomains)
-        dtypes = [s.dense_matrix().dtype for s in self.subdomains]
-        dtype = np.result_type(*dtypes)
-        A = np.zeros((P, mp, mp), dtype=dtype)
-        for p, s in enumerate(self.subdomains):
-            m = s.size
-            A[p, :m, :m] = s.dense_matrix()
-            A[p, range(m, mp), range(m, mp)] = 1.0  # identity pad
-        lu, piv = jsl.lu_factor(jnp.asarray(A))
+        """Factorize every subdomain's local matrix.
+
+        Two tiers, matching the reference's two `DDM<T, LocalSolver>`
+        instantiations (solver/solver.hpp:16,68):
+
+        * dense tier (HPDDM::LapackTRSub analog): subdomains at or below
+          `config.hodlr_threshold` — or with an explicit dense matrix — are
+          padded to a common size and factorized with ONE batched LU.
+        * hierarchical tier (HPDDMCustomLocalSolver = H-LU analog):
+          H-matrix-backed subdomains above the threshold keep their
+          compressed form and are factorized hierarchically
+          (hmatrix/factorization.py — HODLR-Woodbury at scale), never
+          materializing the dense (m, m) subdomain matrix.
+        """
+        import copy as _copy
+
+        from ..config import get_config
+
         n = self.distributed_operator.shape[1]
-        idx_pad = np.full((P, mp), n, dtype=np.int64)  # pad -> dummy row n
-        for p, s in enumerate(self.subdomains):
-            idx_pad[p, :s.size] = s.ovr_to_global
-        self._facto = (lu, piv, jnp.asarray(idx_pad), mp)
-        # partition-of-unity weights are a property of the decomposition:
-        # compute ONCE here, not per preconditioner application
-        W_ras = np.zeros((P, mp))
-        W_asm = np.zeros((P, mp))
-        for p, s in enumerate(self.subdomains):
-            W_ras[p, :s.size] = s.partition_of_unity()
-            W_asm[p, :s.size] = 1.0
-        self._weights = {"ras": jnp.asarray(W_ras), "asm": jnp.asarray(W_asm)}
+        thresh = get_config().hodlr_threshold
+        dense_ids = [p for p, s in enumerate(self.subdomains)
+                     if s.local_hmatrix is None or s.local_matrix is not None
+                     or s.size <= thresh]
+        hier_ids = [p for p in range(len(self.subdomains))
+                    if p not in dense_ids]
+
+        self._facto = None
+        if dense_ids:
+            subs = [self.subdomains[p] for p in dense_ids]
+            P = len(subs)
+            mp = max(s.size for s in subs)
+            dtype = np.result_type(*[s.dtype for s in subs])
+            A = np.zeros((P, mp, mp), dtype=dtype)
+            for i, s in enumerate(subs):
+                m = s.size
+                A[i, :m, :m] = s.dense_matrix()
+                A[i, range(m, mp), range(m, mp)] = 1.0  # identity pad
+            lu, piv = jsl.lu_factor(jnp.asarray(A))
+            idx_pad = np.full((P, mp), n, dtype=np.int64)  # pad -> dummy row
+            W_ras = np.zeros((P, mp))
+            W_asm = np.zeros((P, mp))
+            for i, s in enumerate(subs):
+                idx_pad[i, :s.size] = s.ovr_to_global
+                W_ras[i, :s.size] = s.partition_of_unity()
+                W_asm[i, :s.size] = 1.0
+            self._facto = (lu, piv, jnp.asarray(idx_pad), mp)
+            self._weights = {"ras": jnp.asarray(W_ras),
+                             "asm": jnp.asarray(W_asm)}
+
+        # hierarchical tier: one factorized H-matrix copy per subdomain
+        self._hier = []
+        for p in hier_ids:
+            s = self.subdomains[p]
+            h = _copy.deepcopy(s.local_hmatrix)
+            h.lu_factorization()
+            self._hier.append({
+                "solver": _HierLocalSolver(h, s.internal_ordering),
+                "idx": jnp.asarray(s.ovr_to_global),
+                "w_ras": jnp.asarray(s.partition_of_unity()),
+                "w_asm": jnp.asarray(np.ones(s.size)),
+            })
+        if self._facto is None and self._hier:
+            # weights dict must exist for _device_preconditioner bookkeeping
+            self._weights = {}
+        self._facto_done = True
 
     # ------------------------------------------------------------------
-    def _one_level_device(self, r2d, method: str, state=None):
-        """Traceable ASM / RAS application: gather -> ONE batched LU solve
-        -> weighted scatter-add.  r2d: (n, k) device array, user numbering.
-        `state` = (lu, piv, idx_pad, W) passed as jit arguments by the
-        operands protocol (default: the stored factorization)."""
-        if state is None:
+    def _one_level_state(self, method: str):
+        """Device-array pytree for one preconditioner application (rides the
+        operands protocol so outer jits take it as an argument)."""
+        dense = None
+        if self._facto is not None:
             lu, piv, idx_pad, _ = self._facto
-            W = self._weights[method]
-        else:
-            lu, piv, idx_pad, W = state
+            dense = (lu, piv, idx_pad, self._weights[method])
+        hier = tuple((h["solver"].operands, h["idx"], h["w_" + method])
+                     for h in self._hier)
+        return {"dense": dense, "hier": hier}
+
+    def _one_level_device(self, r2d, method: str, state=None):
+        """Traceable ASM / RAS application over both local-solver tiers.
+        r2d: (n, k) device array, user numbering.
+
+        Dense tier: gather -> ONE batched padded LU solve -> weighted
+        scatter-add.  Hierarchical tier: per subdomain gather -> H-LU
+        (HODLR-Woodbury) solve -> weighted scatter-add — the reference's
+        `DDM<T, HPDDMCustomLocalSolver>` H-LU local solves
+        (solver/solver.hpp:16), without ever materializing dense subdomain
+        matrices."""
+        if state is None:
+            state = self._one_level_state(method)
         n = self.distributed_operator.shape[0]
+        dts = [r2d.dtype]
+        if state["dense"] is not None:
+            dts.append(state["dense"][0].dtype)
+        dts.extend(h["solver"].dtype for h in self._hier)
+        dtype = jnp.result_type(*dts)
+        out = jnp.zeros((n + 1, r2d.shape[1]), dtype=dtype)
         r_ext = jnp.concatenate(
             [r2d, jnp.zeros((1, r2d.shape[1]), dtype=r2d.dtype)])
-        X = r_ext[idx_pad]  # (P, mp, k)
-        Z = jsl.lu_solve((lu, piv), X) * W[:, :, None]
-        dtype = jnp.result_type(r2d.dtype, Z.dtype)
-        out = jnp.zeros((n + 1, r2d.shape[1]), dtype=dtype)
-        out = out.at[idx_pad].add(Z)
+        if state["dense"] is not None:
+            lu, piv, idx_pad, W = state["dense"]
+            X = r_ext[idx_pad]  # (P, mp, k)
+            Z = jsl.lu_solve((lu, piv), X) * W[:, :, None]
+            out = out.at[idx_pad].add(Z.astype(dtype))
+        for h, (solver_ops, idx, w) in zip(self._hier, state["hier"]):
+            rs = r2d[idx]  # (m, k)
+            z = h["solver"].solve(solver_ops, rs) * w[:, None]
+            out = out.at[idx].add(z.astype(dtype))
         return out[:n]
 
     def _coarse_device(self, r2d, state=None):
@@ -141,7 +266,7 @@ class DDMSolver:
         them as arguments instead of baking them in as HLO constants."""
         method = self.options.get("schwarz_method", "none")
         coarse = self.options.get("schwarz_coarse_correction", "none")
-        use_one = method in ("asm", "ras") and self._facto is not None
+        use_one = method in ("asm", "ras") and self._facto_done
         use_coarse = coarse != "none" and self._coarse_dev is not None
 
         if not use_one and not use_coarse:
@@ -149,8 +274,7 @@ class DDMSolver:
 
         operands = {}
         if use_one:
-            lu, piv, idx_pad, _ = self._facto
-            operands["one"] = (lu, piv, idx_pad, self._weights[method])
+            operands["one"] = self._one_level_state(method)
         if use_coarse:
             operands["coarse"] = self._coarse_dev
 
@@ -187,7 +311,7 @@ class DDMSolver:
     def _preconditioner(self):
         method = self.options.get("schwarz_method", "none")
         coarse = self.options.get("schwarz_coarse_correction", "none")
-        use_one = method in ("asm", "ras") and self._facto is not None
+        use_one = method in ("asm", "ras") and self._facto_done
         use_coarse = coarse != "none" and self._coarse is not None
         if not use_one and not use_coarse:
             return None
@@ -262,6 +386,7 @@ class DDMSolver:
             M_fn = self._device_preconditioner()
             sub_dtypes = ([np.dtype(self._facto[0].dtype)]
                           if self._facto is not None else [])
+            sub_dtypes += [h["solver"].dtype for h in self._hier]
             dtype = np.result_type(A._result_dtype(b_arr.reshape(len(b_arr),
                                                                  -1)),
                                    *sub_dtypes)
@@ -355,12 +480,14 @@ def _block_jacobi_subdomains(distributed_operator, block_diag):
     subs = []
     for p, h in enumerate(block_diag):
         t_off, t_sz = int(A.t_offsets[p]), int(A.t_sizes[p])
+        # local_matrix stays None: facto_one_level densifies small
+        # subdomains lazily and keeps large ones hierarchical (H-LU tier)
         subs.append(_Subdomain(
             ovr_to_global=perm[t_off:t_off + t_sz],
             cluster_to_ovr=np.arange(t_sz),
             neighbors=[], intersections=[],
-            local_matrix=h.to_dense(),
             local_hmatrix=h,
+            internal_ordering=True,
         ))
     return subs
 
@@ -482,7 +609,7 @@ class DDMSolverWithDenseLocalSolver(DDMSolverBuilder):
         # densify local H-matrices so the batched LU path is used directly
         for s in self.solver.subdomains:
             if s.local_matrix is None and s.local_hmatrix is not None:
-                s.local_matrix = s.local_hmatrix.to_dense_in_user_numbering()
+                s.local_matrix = s.dense_matrix()
 
 
 def _is_hmatrix_like(x):

@@ -66,3 +66,37 @@ def test_pallas_matches_dense_oracle(small_hmatrix):
     finally:
         cfg.matvec_backend = None
     assert np.linalg.norm(y - y_exact) / np.linalg.norm(y_exact) < eps
+
+
+@pytest.mark.parametrize("trans", ["N", "T", "C"])
+@pytest.mark.parametrize("mu", [1, 3])
+def test_complex64_planes_matches_xla(small_hmatrix, trans, mu):
+    """complex64 two-plane fast path (ops/matvec.py split_planes): the
+    real fused kernel applied to each of Re(A)/Im(A) with stacked
+    [Re(x) | Im(x)] columns must match the XLA complex path for every
+    trans variant."""
+    points, cluster, gen = small_hmatrix
+    from htool_python_tpu.models.kernels import hermitian_phase_kernel
+    cgen = H.KernelGenerator(hermitian_phase_kernel(4.0), points, points,
+                             is_complex=True)
+    hb = H.HMatrixTreeBuilder(1e-4, 10.0, "N", "N")
+    hb.set_dtype(np.complex64)
+    hm = hb.build(cgen, cluster, cluster)
+    n = hm.shape[0]
+    rng = np.random.RandomState(9)
+    x = (rng.rand(n, mu) + 1j * rng.rand(n, mu)).astype(np.complex64)
+    cfg = get_config()
+    try:
+        cfg.matvec_backend = "xla"
+        y_ref = hm.matvec(x, trans=trans)
+        cfg.matvec_backend = "pallas"
+        from htool_python_tpu.ops.matvec import is_planes, resolve_backend
+        data = hm._product_data()
+        assert is_planes(data), "plane split not selected for complex64"
+        assert resolve_backend(data, hm._pad_len, mu, np.complex64,
+                               "N") == "planes"
+        y_pal = hm.matvec(x, trans=trans)
+    finally:
+        cfg.matvec_backend = None
+    err = np.linalg.norm(y_pal - y_ref) / np.linalg.norm(y_ref)
+    assert err < 1e-5, err

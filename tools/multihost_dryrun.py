@@ -30,7 +30,7 @@ PORT = int(os.environ.get("MH_PORT", "39617"))
 SCALING_REPS = int(os.environ.get("MH_SCALING_REPS", "20"))
 
 
-def _build_problem(P, n):
+def _build_problem(P, n, eps=1e-6, leaf=32, dtype=None):
     import numpy as np
 
     from htool_python_tpu.clustering.cluster import ClusterTreeBuilder
@@ -42,11 +42,11 @@ def _build_problem(P, n):
     np.random.seed(0)  # identical geometry on every process (SPMD)
     points = np.random.random((3, n))
     cb = ClusterTreeBuilder()
-    cb.set_maximal_leaf_size(32)
+    cb.set_maximal_leaf_size(leaf)
     cluster = cb.create_cluster_tree(points, 2, size_of_partition=P)
     gen = KernelGenerator(inverse_distance_kernel(1e-1), points, points)
-    hb = HMatrixTreeBuilder(1e-6, 10.0, "N", "N")
-    hb.set_dtype(np.float64)
+    hb = HMatrixTreeBuilder(eps, 10.0, "N", "N")
+    hb.set_dtype(dtype if dtype is not None else np.float64)
     approx = DefaultApproximationBuilder(gen, cluster, cluster, hb, None)
     return points, cluster, approx
 
@@ -131,15 +131,43 @@ def worker() -> None:
         assert sol_err < 1e-4, f"{mesh_kind}: solution err {sol_err:.3e}"
         results[mesh_kind] = (err, res, int(np.max(info["niter"])), sol_err)
 
-        # scaling proxy: per-process wall time of SCALING_REPS products
-        fn = sharded.build_device_apply()
-        import jax.numpy as jnp
-        xd = jnp.asarray(x[:, None])
-        jax.block_until_ready(fn(xd))
+    # scaling proxy: per-process wall time of SCALING_REPS products at a
+    # REALISTIC per-device problem size.  (The r03 proxy timed the small
+    # correctness problem, n = 64 * P: at that size a product is a few
+    # microseconds of compute and the measurement is pure multi-process
+    # collective latency — an efficiency number about gRPC round-trips,
+    # not about the operator mechanism.)
+    import jax.numpy as jnp
+
+    from htool_python_tpu.parallel.multihost import (make_global_mesh,
+                                                     make_hybrid_mesh)
+
+    n2 = int(os.environ.get("MH_SCALING_N", 4096 * P))
+    _, cluster2, approx2 = _build_problem(P, n2, eps=1e-3, leaf=128,
+                                          dtype=np.float32)
+    x2 = np.random.RandomState(2).rand(n2, 1).astype(np.float32)
+    for mesh_kind in ("global", "hybrid"):
+        mesh = (make_global_mesh(P) if mesh_kind == "global"
+                else make_hybrid_mesh(DEVICES_PER_PROCESS))
+        sharded2 = ShardedDistributedOperator(approx2.hmatrix, cluster2,
+                                              cluster2, mesh)
+        fn = sharded2.build_device_apply()
+        ops = fn.operands
+
+        # device-resident rep chain (one dispatch), the shape Krylov loops
+        # actually run in — per-call multi-process dispatch sync is not
+        # part of the operator mechanism being measured
+        @jax.jit
+        def chain(ops, x):
+            def body(i, x):
+                y = fn(ops, x)
+                return y * (1.0 / jnp.linalg.norm(y))
+            return jax.lax.fori_loop(0, SCALING_REPS, body, x)
+
+        xd = jnp.asarray(x2)
+        jax.block_until_ready(chain(ops, xd))
         t0 = time.perf_counter()
-        for _ in range(SCALING_REPS):
-            xd = fn(xd)
-        jax.block_until_ready(xd)
+        jax.block_until_ready(chain(ops, xd))
         results[mesh_kind + "_product_s"] = (
             (time.perf_counter() - t0) / SCALING_REPS)
 
@@ -199,8 +227,11 @@ def launcher() -> int:
                        "t_nproc_ms": tn[k] * 1e3,
                        "per_process_efficiency": t1[k] / tn[k]}
                    for k in t1}
+        total_devs = N_PROCESSES * DEVICES_PER_PROCESS
         report = {"processes": N_PROCESSES,
                   "devices_per_process": DEVICES_PER_PROCESS,
+                  "scaling_n": int(os.environ.get("MH_SCALING_N",
+                                                  4096 * total_devs)),
                   "scaling_proxy": scaling,
                   "note": ("virtual CPU devices on one machine: a MECHANISM "
                            "proxy (collective paths + distributed runtime), "
