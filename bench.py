@@ -246,17 +246,45 @@ def _stage_distributed(jax, jnp, np):
 
 def _stage_helmholtz(jax, jnp, np):
     """BASELINE stage config: complex Helmholtz-style kernel, eps = 1e-6,
-    with recompression.  The TPU has no native f64: this runs complex64
-    and reports the ACHIEVED accuracy honestly (the f32 signal floor at
-    this scale is ~1e-6-1e-5; x64 parity runs live on CPU, see
-    tests/test_accuracy_adversarial.py)."""
+    with recompression.  Tries the target N first and steps down on
+    RESOURCE_EXHAUSTED: at eps = 1e-6 the compressed complex operator plus
+    its product planes plus compression workspace exceed this chip's 16 GB
+    around N ~ 100k (the BASELINE north-star hardware is v5p, 95 GB/chip);
+    the result records the largest N that fits."""
+    import gc
+    target = int(os.environ.get("BENCH_N3", 100000))
+    ladder = [n for n in (target, 70000, 50000, 35000) if n <= target]
+    last_err = ""
+    for n_try in ladder:
+        try:
+            out = _run_helmholtz(jax, jnp, np, n_try)
+            out["target_N"] = target
+            if n_try < target:
+                out["note"] = (
+                    "largest N fitting this 16 GB chip; the eps=1e-6 "
+                    "complex operator + product planes need ~HBM at the "
+                    "100k target (BASELINE hardware: v5p, 95 GB)")
+            return out
+        except Exception as e:  # RESOURCE_EXHAUSTED at this size
+            if "RESOURCE_EXHAUSTED" not in repr(e):
+                raise
+            # keep only the STRING: holding the exception object pins its
+            # traceback frames, whose locals reference gigabytes of
+            # partially-assembled device arrays — the retry would then
+            # inherit a full heap and OOM at every ladder size
+            last_err = repr(e)
+            e = None
+        gc.collect()
+    raise RuntimeError(last_err)
+
+
+def _run_helmholtz(jax, jnp, np, N):
     import htool_python_tpu as H
     from htool_python_tpu.clustering.cluster import ClusterTreeBuilder
     from htool_python_tpu.hmatrix.generator import KernelGenerator
     from htool_python_tpu.hmatrix.hmatrix import HMatrixTreeBuilder
     from htool_python_tpu.models.kernels import hermitian_phase_kernel
 
-    N = int(os.environ.get("BENCH_N3", 100000))
     eps = 1e-6
     points = _bench_points(np, N)
     cb = ClusterTreeBuilder()

@@ -50,6 +50,15 @@ class Config:
     # larger ones use the level-batched HODLR Woodbury factorization
     # (ops/hodlr.py) built by randomized peeling through the fast matvec
     hodlr_threshold: int = 4096
+    # DDM local-solver tier split (solvers/ddm.py facto_one_level):
+    # subdomains up to this size use the batched dense LU — dense local
+    # factorization is cheap and robust well past hodlr_threshold (a
+    # (P, 6k, 6k) f32 batch is ~600 MB), while the hierarchical tier's
+    # randomized peeling pays heavily when subdomain geometry is not
+    # HODLR-friendly (volume clouds: measured ~8 min/subdomain at m=5000
+    # vs seconds dense).  Above it, H-matrix subdomains stay compressed
+    # and factor hierarchically (the reference's H-LU local solves).
+    ddm_local_dense_max: int = 6144
     hodlr_leaf_size: int = 256
     hodlr_sample_size: int = 32
     hodlr_power_iters: int = 1
@@ -76,6 +85,12 @@ class Config:
     assembly_chunk_elems: int = 1 << 28
     # force ('pallas' | 'xla' | None=auto) the matvec kernel backend
     matvec_backend: str | None = None
+    # lane-aligned low-rank Pallas layout (ops/matvec.py align_lowrank):
+    # removes per-block rotates at ~+25% stored bytes.  Measured NET SLOWER
+    # on the r04 batched kernel at N=40000 (2.8 vs 2.1 ms — the rotates are
+    # not the bottleneck there), so off by default; kept as a tuning knob
+    # for plans with many small blocks where rotate counts dominate.
+    matvec_aligned_layout: bool = False
 
     def default_dtype(self, is_complex: bool) -> np.dtype:
         return self.complex_dtype if is_complex else self.real_dtype

@@ -32,8 +32,19 @@ def _hierarchical_factor(hmatrix, sym: str = "N"):
     n = hmatrix.shape[0]
     eps = max(hmatrix.epsilon * cfg.hodlr_eps_factor, 1e-14)
 
+    # randomized peeling widens its probe batches adaptively (up to
+    # config.hodlr_max_sample_size columns); apply in bounded column
+    # chunks — the XLA product path materializes (nb, width, k) gathered
+    # segments per bucket, which at k ~ 1024 is GBs of transient memory
+    chunk = 128
+
     def apply_fn(x, trans):
-        return hmatrix._apply_internal_2d(jnp.asarray(x), trans)
+        x = jnp.asarray(x)
+        if x.shape[1] <= chunk:
+            return hmatrix._apply_internal_2d(x, trans)
+        outs = [hmatrix._apply_internal_2d(x[:, i:i + chunk], trans)
+                for i in range(0, x.shape[1], chunk)]
+        return jnp.concatenate(outs, axis=1)
 
     h = build_hodlr(apply_fn, n, hmatrix.dtype, eps,
                     leaf_size=cfg.hodlr_leaf_size,

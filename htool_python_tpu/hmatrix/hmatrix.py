@@ -77,6 +77,7 @@ class HMatrix:
         self._factorization = None  # set by lu/cholesky_factorization
         self._dev_perms = None  # lazy device permutation cache
         self._planes_cache = None  # complex64 re/im plane split (TPU path)
+        self._aligned_cache = None  # f32 lane-aligned low-rank layout
 
         nt, ns = plan.nb_rows, plan.nb_cols
         maxdim = max([b.pt for b in plan.dense_buckets + plan.lowrank_buckets]
@@ -118,38 +119,98 @@ class HMatrix:
     # ------------------------------------------------------------------
     # products
     def _product_data(self):
-        """The data pytree products consume.  For unsymmetric complex64 on
-        a TPU-capable backend this is the cached re/im f32 plane split
-        (ops/matvec.py split_planes): the real fused Pallas kernel then
-        runs once per plane — the XLA complex gather/scatter path measured
-        ~20x slower at N=40000.  The cache doubles the operator's device
-        footprint while both representations are alive; products only ever
-        stream the planes."""
-        from ..config import get_config
-        from ..ops.matvec import planes_supported, split_planes
+        """The data pytree products consume.
 
-        if self.dtype != np.complex64 or self.symmetry != "N":
-            return self._data
+        Two cached Pallas-native storage variants exist beside the
+        canonical `_data` (both leave it untouched for densify /
+        recompression / sharding):
+
+        * complex64, unsymmetric: the re/im f32 plane split
+          (ops/matvec.py split_planes) — the real fused kernel runs over
+          plane pairs; the XLA complex gather/scatter path measured ~20x
+          slower at N=40000.
+        * real f32: the lane-aligned low-rank layout (align_lowrank) —
+          factors pre-shifted so the kernel's per-block loads/stores are
+          aligned slices instead of dynamic rotates (~0.9 ms of the 2.1 ms
+          N=40000 product).
+
+        Caches cost extra HBM while both representations are alive;
+        `compact_for_products` frees the canonical arrays."""
+        import jax
+
+        from ..config import get_config
+        from ..ops.matvec import align_lowrank, planes_supported, \
+            split_planes
+        from ..ops.pallas_matvec import pallas_supported
+
         forced = get_config().matvec_backend
         if forced == "xla" and self._data is not None:
-            return self._data  # explicit XLA override beats the cache
-        if self._planes_cache is None:
-            import jax
-            use = (forced == "pallas" or jax.default_backend() == "tpu")
-            if not use or not planes_supported(
-                    self._data, self._pad_len, 1, self.dtype,
-                    self.symmetry):
-                return self._data
-            self._planes_cache = split_planes(self._data)
-        return self._planes_cache
+            return self._data  # explicit XLA override beats the caches
+        on_pallas = forced == "pallas" or jax.default_backend() == "tpu"
+
+        if self.dtype == np.complex64 and self.symmetry == "N":
+            if self._planes_cache is None:
+                if not on_pallas or not planes_supported(
+                        self._data, self._pad_len, 1, self.dtype,
+                        self.symmetry):
+                    return self._data
+                self._planes_cache = split_planes(self._data)
+            return self._planes_cache
+
+        if self.dtype == np.float32 and get_config().matvec_aligned_layout:
+            if self._aligned_cache is None:
+                if (not on_pallas or self._data is None
+                        or not self._data["lr"]):
+                    return self._data
+                cand = align_lowrank(self._data)
+                if not pallas_supported(cand["aligned"], self._pad_len, 1,
+                                        self.dtype):
+                    return self._data
+                self._aligned_cache = cand
+            return self._aligned_cache
+
+        return self._data
 
     def compact_for_products(self) -> None:
-        """Release the assembly-layout complex bucket arrays once the
-        plane-split product representation exists (complex64, sym 'N', TPU
-        path): halves the operator's HBM footprint for matvec-only use.
-        Densification / recompression need the complex arrays — call this
-        only when the remaining work is products/solves.  No-op
-        otherwise."""
+        """Convert to the product-only storage layout, freeing the
+        assembly-layout arrays.  For complex64 'N' operators this builds
+        the re/im plane split LEAF BY LEAF, releasing each complex bucket
+        as soon as its planes exist — peak device memory is the operator
+        size plus ONE bucket, so near-HBM-sized Helmholtz operators can
+        still convert.  Densification / recompression need the assembly
+        arrays — call this only when the remaining work is
+        products/solves.  No-op otherwise."""
+        import jax
+
+        from ..config import get_config
+        from ..ops.matvec import planes_supported
+
+        forced = get_config().matvec_backend
+        on_pallas = forced == "pallas" or jax.default_backend() == "tpu"
+        if (self.dtype == np.complex64 and self.symmetry == "N"
+                and self._planes_cache is None and self._data is not None
+                and forced != "xla" and on_pallas
+                and planes_supported(self._data, self._pad_len, 1,
+                                     self.dtype, self.symmetry)):
+            def split_entry(entry):
+                *mats, t, s, m = entry
+                planes = []
+                for a in mats:
+                    planes.append(jnp.real(a).astype(jnp.float32))
+                    planes.append(jnp.imag(a).astype(jnp.float32))
+                jax.block_until_ready(planes[-1])
+                return tuple(planes) + (t, s, m)
+
+            cd, cl = [], []
+            for i, e in enumerate(self._data["dense"]):
+                cd.append(split_entry(e))
+                self._data["dense"][i] = None  # free the complex bucket
+            for i, e in enumerate(self._data["lr"]):
+                cl.append(split_entry(e))
+                self._data["lr"][i] = None
+            self._planes_cache = {"cplanes": {"dense": cd, "lr": cl}}
+            self._data = None
+            return
         pd = self._product_data()
         if pd is not self._data:
             self._data = None
@@ -331,6 +392,7 @@ class HMatrix:
         new._factorization = None
         new._dev_perms = self._dev_perms  # immutable device arrays
         new._planes_cache = self._planes_cache  # immutable device arrays
+        new._aligned_cache = self._aligned_cache
         new._pad_len = self._pad_len
         return new
 
@@ -444,7 +506,8 @@ class HMatrix:
             [d[0] for d in self._data["dense"]],
             self.plan.lowrank_buckets, lr_arrays)
         self._lr_ranks = [np.asarray(r) for r in lr_ranks]
-        self._planes_cache = None  # stale plane split
+        self._planes_cache = None  # stale product-layout caches
+        self._aligned_cache = None
 
 
 class HMatrixTreeBuilder:

@@ -173,6 +173,47 @@ def is_planes(data) -> bool:
     return isinstance(data, dict) and "cplanes" in data
 
 
+def is_aligned(data) -> bool:
+    """True for the {'aligned': ...} lane-aligned low-rank marker pytree."""
+    return isinstance(data, dict) and "aligned" in data
+
+
+def _align_win(w: int) -> int:
+    """Aligned window width covering w + a <128 lane shift (the same
+    extent the rotate path reads, ops/pallas_matvec.py _win_width)."""
+    return -(-(w + 128) // 128) * 128
+
+
+def align_lowrank(data):
+    """Lane-aligned Pallas storage for the low-rank buckets: each block's
+    factors are PRE-SHIFTED along the lane axis by (offset % 128) and the
+    stored offsets rounded down to the 128 boundary, so the kernel's
+    per-block x loads and y accumulations become aligned slices — no
+    dynamic lane rotates at all (r04 attribution: the rotates cost ~0.9 ms
+    of the 2.1 ms N=40000 product).  Costs ~128 extra lanes per factor
+    (~+20% stored bytes on typical plans); dense buckets keep the rotate
+    path (they are a small fraction of the stream)."""
+    def shift(A, W, sh):
+        nb, r, w = A.shape
+        Ap = jnp.pad(A, ((0, 0), (0, 0), (0, W - w)))
+        idx = (jnp.arange(W, dtype=jnp.int32)[None, :]
+               - sh[:, None].astype(jnp.int32)) % W
+        return jnp.take_along_axis(
+            Ap, jnp.broadcast_to(idx[:, None, :], (nb, r, W)), axis=2)
+
+    lr_al = []
+    for Ut, V, t_off, s_off, mir in data["lr"]:
+        pt, ps = Ut.shape[2], V.shape[2]
+        Wt, Ws = _align_win(pt), _align_win(ps)
+        t_off = jnp.asarray(t_off, jnp.int32)
+        s_off = jnp.asarray(s_off, jnp.int32)
+        U_al = shift(jnp.asarray(Ut), Wt, t_off % 128)
+        V_al = shift(jnp.asarray(V), Ws, s_off % 128)
+        lr_al.append((U_al, V_al, t_off - t_off % 128, s_off - s_off % 128,
+                      mir))
+    return {"aligned": {"dense": data["dense"], "lr": lr_al}}
+
+
 def split_planes(data):
     """Split complex bucket data into re/im f32 plane pairs per leaf —
     the storage layout of the complex64 Pallas fast path (same total
@@ -241,6 +282,8 @@ def resolve_backend(data, L: int, k: int, x_dtype, sym: str = "N") -> str:
 
     if is_planes(data):
         return "planes"
+    if is_aligned(data):
+        return "pallas"
     forced = get_config().matvec_backend
     if forced == "xla":
         return "xla"
@@ -270,6 +313,8 @@ def apply_hmatrix(data, x_pad, ny_pad: int, trans: str, sym: str,
     if backend == "pallas":
         return apply_hmatrix_pallas(data, x_pad, ny_pad, trans, sym,
                                     interpret=interpret)
+    if is_aligned(data):
+        raise ValueError("lane-aligned data requires the 'pallas' backend")
     return apply_hmatrix_padded(data, x_pad, ny_pad, trans, sym)
 
 
@@ -285,9 +330,10 @@ def apply_hmatrix_user(data, perm_in, inv_perm_out, x2d, pad_len: int,
     if is_planes(data):
         dtype = jnp.result_type(x2d.dtype, jnp.complex64)
     else:
+        inner = data["aligned"] if is_aligned(data) else data
         dtype = jnp.result_type(x2d.dtype,
-                                *(d[0].dtype for d in data["dense"]),
-                                *(u[0].dtype for u in data["lr"]))
+                                *(d[0].dtype for d in inner["dense"]),
+                                *(u[0].dtype for u in inner["lr"]))
     x_int = x2d[perm_in].astype(dtype)
     x_pad = jnp.zeros((pad_len, x2d.shape[1]), dtype=dtype)
     x_pad = x_pad.at[:x_int.shape[0]].set(x_int)

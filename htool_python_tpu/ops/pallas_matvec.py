@@ -48,11 +48,14 @@ _VMEM_BUDGET = 64 * 1024 * 1024
 _MXU_MIN_K = 8
 
 
-# Timing probes for tools/profile_matvec2.py — they produce WRONG results
+# Timing probes for tools/profile_matvec2/4.py — they produce WRONG results
 # and exist only to attribute kernel time (rotate cost / dynamic-address
-# cost); production entry points never set them.
-_PROF_NO_ROTATE = False   # skip lane rotates in load/accum
-_PROF_STATIC_OFF = False  # ignore offsets entirely (slice at 0)
+# cost / term compute); production entry points never set them.
+_PROF_NO_ROTATE = False     # skip lane rotates in load/accum
+_PROF_STATIC_OFF = False    # ignore offsets entirely (slice at 0)
+_PROF_STATIC_LOAD = False   # static x windows only
+_PROF_STATIC_ACCUM = False  # static y windows only
+_PROF_SKIP_TERM = False     # replace the block math with a cheap stand-in
 
 
 # Mosaic requires dynamic lane-dimension slice offsets to be provable
@@ -70,7 +73,7 @@ def _win_width(width: int) -> int:
 
 def _load_seg(x_ref, off, width: int):
     """x_ref[:, off:off+width] with an arbitrary dynamic offset."""
-    if _PROF_STATIC_OFF:
+    if _PROF_STATIC_OFF or _PROF_STATIC_LOAD:
         return x_ref[:, :width]
     W = _win_width(width)
     base = pl.multiple_of((off // 128) * 128, 128)
@@ -81,9 +84,21 @@ def _load_seg(x_ref, off, width: int):
     return pltpu.roll(win, W - sh, 1)[:, :width]
 
 
+def _load_al(x_ref, off, width: int):
+    """x_ref[:, off:off+width] where off is a known 128 multiple (the
+    lane-aligned storage layout, ops/matvec.py align_lowrank)."""
+    return x_ref[:, pl.ds(pl.multiple_of(off, 128), width)]
+
+
+def _accum_al(y_ref, off, width: int, acc):
+    """y_ref[:, off:off+width] += acc at a 128-aligned offset."""
+    base = pl.multiple_of(off, 128)
+    y_ref[:, pl.ds(base, width)] = y_ref[:, pl.ds(base, width)] + acc
+
+
 def _accum_seg(y_ref, off, width: int, acc):
     """y_ref[:, off:off+width] += acc with an arbitrary dynamic offset."""
-    if _PROF_STATIC_OFF:
+    if _PROF_STATIC_OFF or _PROF_STATIC_ACCUM:
         y_ref[:, :width] = y_ref[:, :width] + acc
         return
     W = _win_width(width)
@@ -285,10 +300,10 @@ def _cterm_tr(kind, blocks, xt, dtype, csign):
     return jnp.stack(res + ims, axis=1).astype(dtype)
 
 
-_N_BLOCKS = {"dense": 1, "lr": 2, "cdense": 2, "clr": 4}
+_N_BLOCKS = {"dense": 1, "lr": 2, "alr": 2, "cdense": 2, "clr": 4}
 
 
-def _fused_kernel(bucket_meta, *refs):
+def _fused_kernel(bucket_meta, resident, *refs):
     """One grid step of the FUSED product: every bucket owns a contiguous
     range of grid steps; outside its range a bucket's index map freezes
     (same block index -> the pipeline skips the DMA), so each step streams
@@ -296,18 +311,38 @@ def _fused_kernel(bucket_meta, *refs):
     pallas_call removes the per-launch dispatch + output-combine cost of
     ~25 separate kernels (measured ~1 ms of a 2.7 ms N=40000 matvec).
 
+    `resident=True` (the TPU path) keeps the x/y vectors in VMEM SCRATCH:
+    x is DMA'd HBM->VMEM once at step 0 and y written back once at the
+    last step.  Passing them as constant-index-map blocks instead makes
+    the pipeline move them between HBM and VMEM every grid step — ~1 GB of
+    hidden traffic per N=40000 product, measured as the dominant cost
+    (tools/profile_matvec3/4.py).  The interpreter path keeps them as
+    ordinary blocks (the generic interpreter has no DMA semantics).
+
     Within a step only the gather/scatter rotates are per-block (they need
     per-block dynamic lane offsets); the block math runs ONCE, batched
     over all G blocks of the step."""
     n_scalar = 3 * len(bucket_meta)
     scalars = refs[:n_scalar]
     rest = refs[n_scalar:]
-    x_ref, y_ref = rest[-2], rest[-1]
     i = pl.program_id(0)
+    if resident:
+        x_hbm, y_hbm, x_ref, y_ref, sem_in, sem_out = rest[-6:]
+        rest = rest[:-6]
 
-    @pl.when(i == 0)
-    def _():
-        y_ref[:] = jnp.zeros_like(y_ref)
+        @pl.when(i == 0)
+        def _():
+            cp = pltpu.make_async_copy(x_hbm, x_ref, sem_in)
+            cp.start()
+            cp.wait()
+            y_ref[:] = jnp.zeros_like(y_ref)
+    else:
+        x_ref, y_ref = rest[-2], rest[-1]
+        rest = rest[:-2]
+
+        @pl.when(i == 0)
+        def _():
+            y_ref[:] = jnp.zeros_like(y_ref)
 
     blk_pos = 0
     for b, (kind, start, steps, G, dims, swapped, sym, csign) in \
@@ -326,14 +361,22 @@ def _fused_kernel(bucket_meta, *refs):
             pt = dims[0]
             ps = dims[-1]
             cplx = kind in ("cdense", "clr")
+            load = _load_al if kind == "alr" else _load_seg
+            accum = _accum_al if kind == "alr" else _accum_seg
             # main term: apply B ('N') / B^T (swapped); mirror term (only
             # for symmetric storage) applies the opposite direction at the
             # reflected offsets, masked per block by `mir`
             in_off, in_w = (s_off, ps) if not swapped else (t_off, pt)
             out_off, out_w = (t_off, pt) if not swapped else (s_off, ps)
-            xg = jnp.stack([_load_seg(x_ref, in_off[j0 + g], in_w)
+            xg = jnp.stack([load(x_ref, in_off[j0 + g], in_w)
                             for g in range(G)])  # (G, k, in_w)
-            if cplx:
+            if _PROF_SKIP_TERM:
+                # stand-in keeping the gathers and the block DMA alive:
+                # one add per data tile, broadcast into the output shape
+                tot = sum(jnp.sum(bb[...]) for bb in blocks) + jnp.sum(xg)
+                out = jnp.full((G, xg.shape[1], out_w), 0.0,
+                               dtype=dtype) + tot.astype(dtype) * 1e-30
+            elif cplx:
                 term = _cterm_fwd if not swapped else _cterm_tr
                 out = term(kind, blocks, xg, dtype, csign)
             else:
@@ -341,17 +384,24 @@ def _fused_kernel(bucket_meta, *refs):
                 out = term(kind, blocks, xg, dtype)  # (G, k, out_w)
             k = xg.shape[1]
             for g in range(G):
-                _accum_seg(y_ref, out_off[j0 + g], out_w,
-                           out[g:g + 1].reshape(k, out_w))
+                accum(y_ref, out_off[j0 + g], out_w,
+                      out[g:g + 1].reshape(k, out_w))
             if sym:
-                xm = jnp.stack([_load_seg(x_ref, out_off[j0 + g], out_w)
+                xm = jnp.stack([load(x_ref, out_off[j0 + g], out_w)
                                 for g in range(G)])
                 mterm = _term_tr if not swapped else _term_fwd
                 outm = mterm(kind, blocks, xm, dtype)  # (G, k, in_w)
                 for g in range(G):
-                    _accum_seg(y_ref, in_off[j0 + g], in_w,
-                               outm[g:g + 1].reshape(k, in_w)
-                               * mir[j0 + g].astype(dtype))
+                    accum(y_ref, in_off[j0 + g], in_w,
+                          outm[g:g + 1].reshape(k, in_w)
+                          * mir[j0 + g].astype(dtype))
+
+    if resident:
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            cp = pltpu.make_async_copy(y_ref, y_hbm, sem_out)
+            cp.start()
+            cp.wait()
 
 
 @partial(jax.jit, static_argnames=("ny_pad", "trans", "sym", "interpret"))
@@ -365,10 +415,14 @@ def apply_hmatrix_pallas(data, x_pad, ny_pad: int, trans: str, sym: str,
     """
     swapped = trans != "N"
     symmetric = sym != "N"
+    if isinstance(data, dict) and "aligned" in data:
+        inner, lr_kind = data["aligned"], "alr"
+    else:
+        inner, lr_kind = data, "lr"
     entries = ([("dense", (D,), t, s, m)
-                for D, t, s, m in data["dense"]]
-               + [("lr", (U, V), t, s, m)
-                  for U, V, t, s, m in data["lr"]])
+                for D, t, s, m in inner["dense"]]
+               + [(lr_kind, (U, V), t, s, m)
+                  for U, V, t, s, m in inner["lr"]])
     if not entries:
         return x_pad * 0
     xT = jnp.swapaxes(x_pad, 0, 1)  # (k, L): minor dim dense across lanes
@@ -456,15 +510,29 @@ def _launch_fused(entries, xT, swapped, symmetric, csign, interpret):
             block_args.append(b)
         start += steps
 
-    in_specs.append(pl.BlockSpec((k, L), lambda i, *_: (0, 0)))
+    resident = not interpret
+    if resident:
+        # x/y live in VMEM scratch for the whole launch (one DMA in, one
+        # out); the HBM refs pass through untouched by the pipeline
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [pltpu.VMEM((k, L), xT.dtype),
+                   pltpu.VMEM((k, L), xT.dtype),
+                   pltpu.SemaphoreType.DMA,
+                   pltpu.SemaphoreType.DMA]
+    else:
+        in_specs.append(pl.BlockSpec((k, L), lambda i, *_: (0, 0)))
+        out_specs = pl.BlockSpec((k, L), lambda i, *_: (0, 0))
+        scratch = []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 * len(bucket_meta),
         grid=(start,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((k, L), lambda i, *_: (0, 0)),
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        partial(_fused_kernel, bucket_meta),
+        partial(_fused_kernel, bucket_meta, resident),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, L), xT.dtype),
         # every bucket's double-buffered step window lives in VMEM at once;

@@ -147,7 +147,8 @@ class DDMSolver:
         instantiations (solver/solver.hpp:16,68):
 
         * dense tier (HPDDM::LapackTRSub analog): subdomains at or below
-          `config.hodlr_threshold` — or with an explicit dense matrix — are
+          `config.ddm_local_dense_max` — or with an explicit dense matrix —
+          are
           padded to a common size and factorized with ONE batched LU.
         * hierarchical tier (HPDDMCustomLocalSolver = H-LU analog):
           H-matrix-backed subdomains above the threshold keep their
@@ -160,7 +161,7 @@ class DDMSolver:
         from ..config import get_config
 
         n = self.distributed_operator.shape[1]
-        thresh = get_config().hodlr_threshold
+        thresh = get_config().ddm_local_dense_max
         dense_ids = [p for p, s in enumerate(self.subdomains)
                      if s.local_hmatrix is None or s.local_matrix is not None
                      or s.size <= thresh]

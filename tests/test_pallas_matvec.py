@@ -100,3 +100,36 @@ def test_complex64_planes_matches_xla(small_hmatrix, trans, mu):
         cfg.matvec_backend = None
     err = np.linalg.norm(y_pal - y_ref) / np.linalg.norm(y_ref)
     assert err < 1e-5, err
+
+
+def test_aligned_layout_selected_for_f32(small_hmatrix):
+    """f32 on the pallas backend uses the lane-aligned low-rank layout
+    (ops/matvec.py align_lowrank): factors pre-shifted so the kernel's
+    per-block loads/stores are aligned slices, offsets multiples of 128."""
+    import numpy as _np
+
+    from htool_python_tpu.ops.matvec import is_aligned
+
+    points, cluster, gen = small_hmatrix
+    hb = H.HMatrixTreeBuilder(1e-4, 10.0, "N", "N")
+    hb.set_dtype(np.float32)
+    hm = hb.build(gen, cluster, cluster)
+    n = hm.shape[0]
+    x = np.random.rand(n, 2).astype(np.float32)
+    cfg = get_config()
+    try:
+        cfg.matvec_backend = "xla"
+        y_ref = hm.matvec(x)
+        cfg.matvec_backend = "pallas"
+        cfg.matvec_aligned_layout = True
+        data = hm._product_data()
+        assert is_aligned(data)
+        for entry in data["aligned"]["lr"]:
+            t_off, s_off = _np.asarray(entry[2]), _np.asarray(entry[3])
+            assert (t_off % 128 == 0).all() and (s_off % 128 == 0).all()
+        y_al = hm.matvec(x)
+    finally:
+        cfg.matvec_backend = None
+        cfg.matvec_aligned_layout = False
+    err = np.linalg.norm(y_al - y_ref) / np.linalg.norm(y_ref)
+    assert err < 1e-6, err
