@@ -465,7 +465,12 @@ def _warm_device_programs(plan, gen, epsilon, reqrank, dtype, cfg) -> None:
 
     if not jobs:
         return
-    with ThreadPoolExecutor(max_workers=min(16, len(jobs))) as ex:
+    # each warm EXECUTION allocates its chunk's full workspace (shapes are
+    # static even though the dummy blocks are zero-sized); complex64
+    # chunks run ~0.5-1 GB each, so wide dtypes throttle the concurrency
+    # to keep the transient warm-up footprint off the assembly's budget
+    workers = min(16 if dtype.itemsize <= 4 else 4, len(jobs))
+    with ThreadPoolExecutor(max_workers=workers) as ex:
         list(ex.map(run, jobs))
     if _PROFILE:
         print(f"[assemble] warm-up of {len(jobs)} device programs: "

@@ -20,8 +20,21 @@ import jax.numpy as jnp
 from ..clustering.cluster import Cluster
 from ..config import get_config
 from ..ops.matvec import apply_hmatrix, apply_hmatrix_user, pack_bucket_data
+from ..utils.complex_io import to_device, to_host
 from .assembly import assemble
 from .plan import BlockPlan, build_block_plan
+
+
+from functools import partial as _partial
+
+import jax as _jax
+
+
+@_partial(_jax.jit, static_argnames=("shape", "dtype"))
+def _zeros_jit(shape, dtype):
+    """Zeros built ON DEVICE: an eager complex jnp.zeros transfers its
+    complex scalar fill, which the remote backend does not implement."""
+    return jnp.zeros(shape, dtype)
 
 
 def _reduced_info_dict(tuples: list[np.ndarray]) -> dict:
@@ -240,15 +253,17 @@ class HMatrix:
         in_base = 0 if trans == "N" else t_base
         out_base = t_base if trans == "N" else 0
         dtype = np.result_type(self.dtype, x2d.dtype)
-        x_pad = jnp.zeros((self._pad_len, x2d.shape[1]), dtype=dtype)
-        x_pad = x_pad.at[in_base:in_base + nin].set(
-            jnp.asarray(x2d, dtype=dtype))
+        # complex-safe: jnp.zeros(complex) / jnp.asarray(complex ndarray)
+        # are host->device transfers the remote backend cannot do
+        x_dev = to_device(x2d, dtype)
+        x_pad = _zeros_jit((self._pad_len, x2d.shape[1]), np.dtype(dtype))
+        x_pad = x_pad.at[in_base:in_base + nin].set(x_dev)
         y_pad = apply_hmatrix(data, x_pad, self._pad_len,
                               trans, self.symmetry)
         return y_pad[out_base:out_base + nout]
 
     def matvec_internal(self, x, trans: str = "N", data=None):
-        x = jnp.asarray(x)
+        x = to_device(x)
         squeeze = x.ndim == 1
         y = self._apply_internal_2d(x[:, None] if squeeze else x, trans, data)
         return y[:, 0] if squeeze else y
@@ -277,10 +292,10 @@ class HMatrix:
         Accepts numpy or jax input; a jax input stays device-resident and a
         jax array is returned (no host synchronization)."""
         if not self.is_root():
-            return np.asarray(self.matvec_internal(x, trans))
+            return to_host(self.matvec_internal(x, trans))
         device_io = isinstance(x, jnp.ndarray)
         perm_in, inv_out = self._device_perms(trans)
-        x = jnp.asarray(x)
+        x = to_device(x)
         if x.shape[0] != perm_in.shape[0]:
             raise ValueError(
                 f"expected input of size {perm_in.shape[0]}, got {x.shape[0]}")
@@ -296,7 +311,7 @@ class HMatrix:
                                self._pad_len, trans, self.symmetry, nout,
                                backend)
         y = y[:, 0] if squeeze else y
-        return y if device_io else np.asarray(y)
+        return y if device_io else to_host(y)
 
     def __mul__(self, x):
         x = np.asarray(x)
@@ -319,7 +334,7 @@ class HMatrix:
         out = np.zeros((nt, ns), dtype=self.dtype)
         for (D, t_off, s_off, mirror), b in zip(self._data["dense"],
                                                 self.plan.dense_buckets):
-            Dh = np.asarray(D)
+            Dh = to_host(D)
             for i in range(b.nb):
                 blk = Dh[i, :b.t_sz[i], :b.s_sz[i]]
                 out[b.t_off[i] - tb:b.t_off[i] - tb + b.t_sz[i],
@@ -330,7 +345,7 @@ class HMatrix:
                         b.t_off[i]:b.t_off[i] + b.t_sz[i]] = m
         for (Ut, V, t_off, s_off, mirror), b in zip(self._data["lr"],
                                                     self.plan.lowrank_buckets):
-            Uh, Vh = np.asarray(Ut), np.asarray(V)
+            Uh, Vh = to_host(Ut), to_host(V)
             for i in range(b.nb):
                 blk = Uh[i, :, :b.t_sz[i]].T @ Vh[i, :, :b.s_sz[i]]
                 out[b.t_off[i] - tb:b.t_off[i] - tb + b.t_sz[i],
@@ -495,7 +510,7 @@ class HMatrix:
         for (Ut, V, *_), b, r in zip(self._data["lr"],
                                      self.plan.lowrank_buckets,
                                      self._lr_ranks):
-            out.append((np.asarray(Ut).transpose(0, 2, 1), np.asarray(V),
+            out.append((to_host(Ut).transpose(0, 2, 1), to_host(V),
                         b, r))
         return out
 

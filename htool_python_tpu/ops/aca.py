@@ -121,6 +121,14 @@ def batched_aca(gen, t_idx, s_idx, t_sz, s_sz, rmax: int, eps: float,
             jnp.concatenate([o[3] for o in outs]))
 
 
+@partial(jax.jit, static_argnames=("p",))
+def _pad_rows_jit(a, p: int):
+    """Zero-pad `p` rows on the leading axis inside a jit (the zero fill
+    becomes a program constant instead of a host->device transfer, which
+    the remote backend cannot do for complex dtypes)."""
+    return jnp.pad(a, ((0, p),) + ((0, 0),) * (a.ndim - 1))
+
+
 def truncate_eps_array(eps):
     return jnp.asarray(eps, dtype=jnp.float64
                        if jax.config.jax_enable_x64 else jnp.float32)
@@ -337,12 +345,12 @@ def batched_truncate(U, V, ranks, eps: float, reqrank: int = -1):
         c = i1 - i0
         Uc, Vc, rc = U[i0:i1], V[i0:i1], ranks[i0:i1]
         if size != c:
-            Uc = jnp.concatenate(
-                [Uc, jnp.zeros((size - c, pt, r), dtype=U.dtype)])
-            Vc = jnp.concatenate(
-                [Vc, jnp.zeros((size - c, r, ps), dtype=V.dtype)])
-            rc = jnp.concatenate(
-                [rc, jnp.zeros((size - c,), dtype=ranks.dtype)])
+            # jitted pads: an EAGER complex zeros transfers its complex
+            # scalar fill host->device, which the remote backend does not
+            # implement (utils/complex_io.py)
+            Uc = _pad_rows_jit(Uc, p=size - c)
+            Vc = _pad_rows_jit(Vc, p=size - c)
+            rc = _pad_rows_jit(rc, p=size - c)
         Un, Vn, rn = _batched_truncate_jit(int(reqrank), Uc, Vc, rc, eps_arr)
         outs.append((Un[:c], Vn[:c], rn[:c]))
     if len(outs) == 1:

@@ -27,6 +27,7 @@ from ..hmatrix.hmatrix import HMatrix, HMatrixTreeBuilder
 from ..hmatrix.generator import VirtualGenerator
 from ..parallel.builders import PerPartition
 from ..parallel.distributed_operator import DistributedOperator
+from ..utils.complex_io import to_device, to_host
 from .krylov import cg, gmres
 from .options import DEFAULTS, parse_hpddm_args
 
@@ -394,7 +395,7 @@ class DDMSolver:
             b_solve = b_arr
             if use_left and M_fn is not None:
                 from .krylov import compose_operators
-                b2 = jnp.asarray(b_arr.astype(dtype, copy=False))
+                b2 = to_device(b_arr.astype(dtype, copy=False))
                 b_solve = M_fn(b2[:, None] if b2.ndim == 1 else b2)
                 if b_arr.ndim == 1:
                     b_solve = b_solve[:, 0]
@@ -410,7 +411,7 @@ class DDMSolver:
                 xs, info = gmres_device(A_fn, b_solve, M_fn=M_fn, tol=tol,
                                         max_it=max_it, restart=restart,
                                         verbosity=verbosity, dtype=dtype)
-            x[...] = np.asarray(xs).astype(x.dtype, copy=False)
+            x[...] = to_host(xs).astype(x.dtype, copy=False)
             nits = [int(np.max(info["niter"]))]
             residuals = [float(np.max(info["residual"]))]
         else:

@@ -25,6 +25,8 @@ from functools import partial
 
 import numpy as np
 
+from ..utils.complex_io import to_device, to_host
+
 
 def _norm(v):
     return float(np.linalg.norm(v))
@@ -223,7 +225,7 @@ def gmres_device(A_fn, b, M_fn=None, tol=1e-6, max_it=100, restart=40,
     import jax
     import jax.numpy as jnp
 
-    b = jnp.asarray(b)
+    b = to_device(b)
     squeeze = b.ndim == 1
     b2 = b[:, None] if squeeze else b
     if dtype is not None:
@@ -272,7 +274,7 @@ def cg_device(A_fn, b, M_fn=None, tol=1e-6, max_it=100, verbosity=0,
     import jax
     import jax.numpy as jnp
 
-    b = jnp.asarray(b)
+    b = to_device(b)
     squeeze = b.ndim == 1
     b2 = b[:, None] if squeeze else b
     if dtype is not None:
