@@ -32,8 +32,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # VMEM budget for x + y + every bucket's double-buffered step blocks
-# (v5e has 128 MB VMEM per core; leave headroom for Mosaic scratch)
-_VMEM_BUDGET = 64 * 1024 * 1024
+# (v5e has 128 MB VMEM per core; leave headroom for Mosaic scratch).
+# Larger windows = fewer grid steps; per-step cost dominates the product
+# (r04 attribution), so spend VMEM on window size.
+_VMEM_BUDGET = 88 * 1024 * 1024
 
 
 # Contraction engine choice.  With few RHS columns (k < _MXU_MIN_K) each
@@ -128,7 +130,7 @@ def _step_bytes_budget(n_buckets: int) -> int:
     """Per-bucket step-window byte target: the fused kernel keeps every
     bucket's double-buffered step window resident at once, so the VMEM
     budget is split across buckets (floor 256K keeps steps amortized)."""
-    share = (_VMEM_BUDGET // 3) // max(n_buckets, 1)
+    share = (_VMEM_BUDGET * 2 // 5) // max(n_buckets, 1)
     return max(1 << 18, min(_STEP_BYTES, share))
 
 
@@ -170,7 +172,7 @@ def pallas_supported(data, L: int, k: int, x_dtype) -> bool:
     return vec_bytes + 2 * blk_bytes < _VMEM_BUDGET
 
 
-def _term_fwd(kind, blocks, xg, dtype):
+def _term_fwd(kind, mats, xg, dtype):
     """Batched forward block application for one grid step.
 
     xg (G, k, ps) -> (G, k, pt): dense y = D x; low-rank y = U (V x).
@@ -180,7 +182,7 @@ def _term_fwd(kind, blocks, xg, dtype):
     r04 attribution); larger k uses batched MXU dots."""
     k = xg.shape[1]
     if kind == "dense":
-        D = blocks[0][...]  # (G, pt, ps)
+        D = mats[0]  # (G, pt, ps)
         if k >= _MXU_MIN_K:
             return jax.lax.dot_general(
                 xg, D, (((2,), (2,)), ((0,), (0,))),
@@ -190,8 +192,7 @@ def _term_fwd(kind, blocks, xg, dtype):
         cols = [jnp.sum(D * xg[:, kk:kk + 1, :], axis=-1)
                 for kk in range(k)]
         return jnp.stack(cols, axis=1).astype(dtype)  # (G, k, pt)
-    U = blocks[0][...]  # (G, r, pt)
-    V = blocks[1][...]  # (G, r, ps)
+    U, V = mats  # (G, r, pt), (G, r, ps)
     if k >= _MXU_MIN_K:
         w = jax.lax.dot_general(xg, V, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
@@ -205,12 +206,12 @@ def _term_fwd(kind, blocks, xg, dtype):
     return jnp.stack(cols, axis=1).astype(dtype)
 
 
-def _term_tr(kind, blocks, xt, dtype):
+def _term_tr(kind, mats, xt, dtype):
     """Batched transposed block application: xt (G, k, pt) -> (G, k, ps)
     (real dtypes: 'T' == 'C')."""
     k = xt.shape[1]
     if kind == "dense":
-        D = blocks[0][...]
+        D = mats[0]
         if k >= _MXU_MIN_K:
             return jax.lax.dot_general(
                 xt, D, (((2,), (1,)), ((0,), (0,))),
@@ -218,8 +219,7 @@ def _term_tr(kind, blocks, xt, dtype):
         cols = [jnp.sum(D * jnp.swapaxes(xt[:, kk:kk + 1, :], 1, 2), axis=1)
                 for kk in range(k)]
         return jnp.stack(cols, axis=1).astype(dtype)
-    U = blocks[0][...]  # (G, r, pt)
-    V = blocks[1][...]  # (G, r, ps)
+    U, V = mats  # (G, r, pt), (G, r, ps)
     if k >= _MXU_MIN_K:
         w = jax.lax.dot_general(xt, U, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
@@ -233,7 +233,7 @@ def _term_tr(kind, blocks, xt, dtype):
     return jnp.stack(cols, axis=1).astype(dtype)
 
 
-def _cterm_fwd(kind, blocks, xg, dtype, csign):
+def _cterm_fwd(kind, mats, xg, dtype, csign):
     """Batched complex forward application over plane pairs for one grid
     step: xg (G, 2k, ps) stacked [Re | Im] columns -> (G, 2k, pt).
 
@@ -243,8 +243,8 @@ def _cterm_fwd(kind, blocks, xg, dtype, csign):
     still far under the HBM DMA floor for small k."""
     k = xg.shape[1] // 2
     if kind == "cdense":
-        Dr = blocks[0][...]
-        Di = blocks[1][...] if csign > 0 else -blocks[1][...]
+        Dr = mats[0]
+        Di = mats[1] if csign > 0 else -mats[1]
         res, ims = [], []
         for kk in range(k):
             xr = xg[:, kk:kk + 1, :]
@@ -252,10 +252,10 @@ def _cterm_fwd(kind, blocks, xg, dtype, csign):
             res.append(jnp.sum(Dr * xr - Di * xi, axis=-1))
             ims.append(jnp.sum(Dr * xi + Di * xr, axis=-1))
         return jnp.stack(res + ims, axis=1).astype(dtype)
-    Ur = blocks[0][...]  # (G, r, pt)
-    Ui = blocks[1][...] if csign > 0 else -blocks[1][...]
-    Vr = blocks[2][...]  # (G, r, ps)
-    Vi = blocks[3][...] if csign > 0 else -blocks[3][...]
+    Ur = mats[0]  # (G, r, pt)
+    Ui = mats[1] if csign > 0 else -mats[1]
+    Vr = mats[2]  # (G, r, ps)
+    Vi = mats[3] if csign > 0 else -mats[3]
     res, ims = [], []
     for kk in range(k):
         xr = xg[:, kk:kk + 1, :]
@@ -269,13 +269,13 @@ def _cterm_fwd(kind, blocks, xg, dtype, csign):
     return jnp.stack(res + ims, axis=1).astype(dtype)
 
 
-def _cterm_tr(kind, blocks, xt, dtype, csign):
+def _cterm_tr(kind, mats, xt, dtype, csign):
     """Batched complex transposed application: xt (G, 2k, pt) -> (G, 2k,
     ps).  With csign = -1 this is the conjugate transpose."""
     k = xt.shape[1] // 2
     if kind == "cdense":
-        Dr = blocks[0][...]
-        Di = blocks[1][...] if csign > 0 else -blocks[1][...]
+        Dr = mats[0]
+        Di = mats[1] if csign > 0 else -mats[1]
         res, ims = [], []
         for kk in range(k):
             xr = jnp.swapaxes(xt[:, kk:kk + 1, :], 1, 2)  # (G, pt, 1)
@@ -283,10 +283,10 @@ def _cterm_tr(kind, blocks, xt, dtype, csign):
             res.append(jnp.sum(Dr * xr - Di * xi, axis=1))  # (G, ps)
             ims.append(jnp.sum(Dr * xi + Di * xr, axis=1))
         return jnp.stack(res + ims, axis=1).astype(dtype)
-    Ur = blocks[0][...]  # (G, r, pt)
-    Ui = blocks[1][...] if csign > 0 else -blocks[1][...]
-    Vr = blocks[2][...]  # (G, r, ps)
-    Vi = blocks[3][...] if csign > 0 else -blocks[3][...]
+    Ur = mats[0]  # (G, r, pt)
+    Ui = mats[1] if csign > 0 else -mats[1]
+    Vr = mats[2]  # (G, r, ps)
+    Vi = mats[3] if csign > 0 else -mats[3]
     res, ims = [], []
     for kk in range(k):
         xr = xt[:, kk:kk + 1, :]
@@ -322,9 +322,8 @@ def _fused_kernel(bucket_meta, resident, *refs):
     Within a step only the gather/scatter rotates are per-block (they need
     per-block dynamic lane offsets); the block math runs ONCE, batched
     over all G blocks of the step."""
-    n_scalar = 3 * len(bucket_meta)
-    scalars = refs[:n_scalar]
-    rest = refs[n_scalar:]
+    meta_ref = refs[0]  # ONE packed int32 scalar array for every bucket
+    rest = refs[1:]
     i = pl.program_id(0)
     if resident:
         x_hbm, y_hbm, x_ref, y_ref, sem_in, sem_out = rest[-6:]
@@ -345,56 +344,79 @@ def _fused_kernel(bucket_meta, resident, *refs):
             y_ref[:] = jnp.zeros_like(y_ref)
 
     blk_pos = 0
-    for b, (kind, start, steps, G, dims, swapped, sym, csign) in \
-            enumerate(bucket_meta):
-        t_off, s_off, mir = scalars[3 * b:3 * b + 3]
-        nblk = _N_BLOCKS[kind]
+    for b, (kind, start, steps, G, dims, swapped, sym, csign, merged,
+            bases) in enumerate(bucket_meta):
+        nblk = 1 if merged else (2 if kind == "clr" else _N_BLOCKS[kind])
         blocks = rest[blk_pos:blk_pos + nblk]
         blk_pos += nblk
 
         @pl.when((i >= start) & (i < start + steps))
         def _(kind=kind, start=start, G=G, dims=dims, blocks=blocks,
-              t_off=t_off, s_off=s_off, mir=mir, swapped=swapped, sym=sym,
+              bases=bases, merged=merged, swapped=swapped, sym=sym,
               csign=csign, i=i):
+            bt, bs, bm = bases
             j0 = (i - start) * G
             dtype = y_ref.dtype
             pt = dims[0]
             ps = dims[-1]
+            r = dims[1] if len(dims) == 3 else 0
             cplx = kind in ("cdense", "clr")
             load = _load_al if kind == "alr" else _load_seg
             accum = _accum_al if kind == "alr" else _accum_seg
+            # re-split fused buffers with static second-axis slices
+            if kind in ("dense",):
+                mats = (blocks[0][...],)
+            elif kind == "cdense":
+                M = blocks[0][...]
+                mats = (M[:, :pt], M[:, pt:]) if merged \
+                    else (blocks[0][...], blocks[1][...])
+            elif kind in ("lr", "alr"):
+                if merged:
+                    M = blocks[0][...]
+                    mats = (M[:, :r], M[:, r:])
+                else:
+                    mats = (blocks[0][...], blocks[1][...])
+            else:  # clr
+                if merged:
+                    M = blocks[0][...]
+                    mats = (M[:, :r], M[:, r:2 * r], M[:, 2 * r:3 * r],
+                            M[:, 3 * r:])
+                else:
+                    MU = blocks[0][...]
+                    MV = blocks[1][...]
+                    mats = (MU[:, :r], MU[:, r:], MV[:, :r], MV[:, r:])
             # main term: apply B ('N') / B^T (swapped); mirror term (only
             # for symmetric storage) applies the opposite direction at the
             # reflected offsets, masked per block by `mir`
-            in_off, in_w = (s_off, ps) if not swapped else (t_off, pt)
-            out_off, out_w = (t_off, pt) if not swapped else (s_off, ps)
-            xg = jnp.stack([load(x_ref, in_off[j0 + g], in_w)
+            in_b, in_w = (bs, ps) if not swapped else (bt, pt)
+            out_b, out_w = (bt, pt) if not swapped else (bs, ps)
+            xg = jnp.stack([load(x_ref, meta_ref[in_b + j0 + g], in_w)
                             for g in range(G)])  # (G, k, in_w)
             if _PROF_SKIP_TERM:
-                # stand-in keeping the gathers and the block DMA alive:
-                # one add per data tile, broadcast into the output shape
-                tot = sum(jnp.sum(bb[...]) for bb in blocks) + jnp.sum(xg)
-                out = jnp.full((G, xg.shape[1], out_w), 0.0,
-                               dtype=dtype) + tot.astype(dtype) * 1e-30
+                # stand-in keeping the gathers and the block DMA alive
+                # (valid for square buckets: in_w == out_w): one reduce per
+                # data tile, scalar-scaled pass-through of the gathers
+                tot = sum(jnp.sum(m) for m in mats)
+                out = (xg * (tot * 1e-30).astype(dtype))[:, :, :out_w]
             elif cplx:
                 term = _cterm_fwd if not swapped else _cterm_tr
-                out = term(kind, blocks, xg, dtype, csign)
+                out = term(kind, mats, xg, dtype, csign)
             else:
                 term = _term_fwd if not swapped else _term_tr
-                out = term(kind, blocks, xg, dtype)  # (G, k, out_w)
+                out = term(kind, mats, xg, dtype)  # (G, k, out_w)
             k = xg.shape[1]
             for g in range(G):
-                accum(y_ref, out_off[j0 + g], out_w,
+                accum(y_ref, meta_ref[out_b + j0 + g], out_w,
                       out[g:g + 1].reshape(k, out_w))
             if sym:
-                xm = jnp.stack([load(x_ref, out_off[j0 + g], out_w)
+                xm = jnp.stack([load(x_ref, meta_ref[out_b + j0 + g], out_w)
                                 for g in range(G)])
                 mterm = _term_tr if not swapped else _term_fwd
-                outm = mterm(kind, blocks, xm, dtype)  # (G, k, in_w)
+                outm = mterm(kind, mats, xm, dtype)  # (G, k, in_w)
                 for g in range(G):
-                    accum(y_ref, in_off[j0 + g], in_w,
+                    accum(y_ref, meta_ref[in_b + j0 + g], in_w,
                           outm[g:g + 1].reshape(k, in_w)
-                          * mir[j0 + g].astype(dtype))
+                          * meta_ref[bm + j0 + g].astype(dtype))
 
     if resident:
         @pl.when(i == pl.num_programs(0) - 1)
@@ -460,11 +482,21 @@ def apply_hmatrix_pallas_complex(cdata, x_pad, ny_pad: int, trans: str,
 def _launch_fused(entries, xT, swapped, symmetric, csign, interpret):
     """Shared plumbing of the fused single-launch product: bucket windows,
     frozen index maps, scalar prefetch, one pallas_call.  xT is the
-    transposed (k, L) real input; returns yT (k, L)."""
+    transposed (k, L) real input; returns yT (k, L).
+
+    Pipeline-managed argument COUNT is the hidden per-step cost (the
+    stream microbenchmark in tools/profile_matvec3.py degrades with buffer
+    count, not bytes): every bucket's offset triples are packed into ONE
+    scalar-prefetch array, and each bucket's factor arrays are fused into
+    a single buffer along the second axis whenever widths allow (square
+    low-rank buckets: U|V stacked on the rank axis; complex planes
+    likewise) — the kernel re-splits with static sublane slices."""
     k, L = xT.shape
-    bucket_meta = []   # (kind, start, steps, G, dims, swapped, sym, csign)
-    scalar_args = []   # t_off, s_off, mir per bucket (padded to G multiple)
-    block_args = []    # per-bucket block arrays (padded)
+    bucket_meta = []   # (kind, start, steps, G, dims, swapped, sym, csign,
+    #                     merged, (bt, bs, bm) scalar bases)
+    scalar_parts = []  # flat int32 pieces, one offset array at a time
+    scalar_len = 0
+    block_args = []    # per-bucket block arrays (padded, possibly fused)
     in_specs = []
     start = 0
 
@@ -496,9 +528,22 @@ def _launch_fused(entries, xT, swapped, symmetric, csign, interpret):
             blocks, jnp.asarray(t_off, jnp.int32),
             jnp.asarray(s_off, jnp.int32), jnp.asarray(mir, jnp.int32), G)
         steps = nb_pad // G
+        # fuse the bucket's arrays into one buffer when the minor widths
+        # match (dense/cdense second axes always do; lr needs pt == ps)
+        merged = False
+        if len(blocks) > 1 and all(b.shape[2] == blocks[0].shape[2]
+                                   for b in blocks):
+            blocks = (jnp.concatenate(blocks, axis=1),)
+            merged = True
+        elif kind == "clr":
+            # rectangular complex low-rank: fuse the re/im plane pairs
+            blocks = (jnp.concatenate(blocks[0:2], axis=1),
+                      jnp.concatenate(blocks[2:4], axis=1))
+        bases = (scalar_len, scalar_len + nb_pad, scalar_len + 2 * nb_pad)
+        scalar_parts.extend([t_off, s_off, mir])
+        scalar_len += 3 * nb_pad
         bucket_meta.append((kind, start, steps, G, dims, swapped, symmetric,
-                            csign))
-        scalar_args.extend([t_off, s_off, mir])
+                            csign, merged, bases))
         for b in blocks:
             # frozen index map: constant block index outside this bucket's
             # grid range -> the pipeline does not re-DMA it
@@ -509,6 +554,7 @@ def _launch_fused(entries, xT, swapped, symmetric, csign, interpret):
                 pl.BlockSpec((G,) + tuple(b.shape[1:]), imap))
             block_args.append(b)
         start += steps
+    scalar_args = [jnp.concatenate(scalar_parts)]
 
     resident = not interpret
     if resident:
@@ -525,7 +571,7 @@ def _launch_fused(entries, xT, swapped, symmetric, csign, interpret):
         out_specs = pl.BlockSpec((k, L), lambda i, *_: (0, 0))
         scratch = []
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3 * len(bucket_meta),
+        num_scalar_prefetch=1,
         grid=(start,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -538,6 +584,6 @@ def _launch_fused(entries, xT, swapped, symmetric, csign, interpret):
         # every bucket's double-buffered step window lives in VMEM at once;
         # Mosaic's default 16 MB scoped-vmem limit rejects realistic plans
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=114 * 1024 * 1024),
         interpret=interpret,
     )(*scalar_args, *block_args, xT)
