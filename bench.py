@@ -30,6 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HBM_ROOFLINE_GBS = 810.0  # v5e HBM peak; raw probe on this chip: ~745 GB/s
 
 
+def _assembly_breakdown():
+    """Per-phase wall split of the headline assembly (VERDICT r04 #6)."""
+    from htool_python_tpu.hmatrix.assembly import ASSEMBLY_PROFILE
+    return dict(ASSEMBLY_PROFILE)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -67,6 +73,9 @@ def main():
     hmatrix = hb.build(gen, cluster, cluster)
     jax.block_until_ready(hmatrix._data)
     t_assembly = time.perf_counter() - t0
+    # capture NOW: the stage configs below run their own assemblies and
+    # overwrite the module-level profile
+    assembly_breakdown = _assembly_breakdown()
 
     # compressed entry count (actual, unpadded) and stored (padded) bytes
     dense_e, lr_e, _ = hmatrix._storage_counts()
@@ -155,6 +164,7 @@ def main():
             "session_setup_s": round(t_session_setup, 3),
             "cluster_time_s": round(t_cluster, 3),
             "assembly_time_s": round(t_assembly, 3),
+            "assembly_breakdown": assembly_breakdown,
             "matvec_time_ms": round(t_matvec * 1e3, 4),
             "matvec_single_call_e2e_ms": round(t_single * 1e3, 2),
             "effective_GBs": round(eff_gbs, 1),
@@ -210,6 +220,7 @@ def _stage_distributed(jax, jnp, np):
     approx = DefaultApproximationBuilder(gen, cluster, cluster, hb, None)
     jax.block_until_ready([h._data for h in approx.hmatrix])
     t_build = time.perf_counter() - t0
+    build_profile = dict(approx.build_profile)
 
     fn = approx.distributed_operator.build_device_apply()
     ops = fn.operands  # block data as jit ARGUMENTS, not HLO constants
@@ -240,6 +251,7 @@ def _stage_distributed(jax, jnp, np):
     rel = float(np.linalg.norm(y[rows] - (1.0 / (1e-1 + d)) @ xs)
                 / np.linalg.norm((1.0 / (1e-1 + d)) @ xs))
     return {"N": N, "partitions": 2, "build_s": round(t_build, 2),
+            "build_profile": build_profile,
             "global_matvec_ms": round(t_apply * 1e3, 3),
             "rel_error_sampled": rel}
 
@@ -266,13 +278,19 @@ def _stage_helmholtz(jax, jnp, np):
         return pilot
     budget = 13.5e9
     # exponent 1.35: ranks grow with block size at eps=1e-6, steeper than
-    # pure N log N.  Factor 7: assembly peaks well above final storage
-    # (per-chunk factors padded to the chunk-max rank, ACA workspaces,
-    # product planes) — calibrated against a measured near-miss at 45k
+    # pure N log N.  Peak model (round 5): the N-proportional transients
+    # are the complex leaf storage itself (~1x), the plane-split building
+    # next to it (compact converts leaf by leaf, recompression frees each
+    # bucket as it streams — both ~+1x briefly), plus a bounded
+    # chunk-workspace term (~3 GB: assembly_chunk_elems-sized ACA/QR/SVD
+    # operands).  The r04 factor-7 model was calibrated with the
+    # UNCHUNKED recompression whose transient grew with N; streaming
+    # recompression removed it.
     per = pilot["stored_bytes"] / float(pilot_n) ** 1.35
     ladder = [n for n in (target, 85000, 70000, 55000, 45000, 35000)
               if pilot_n < n <= target]
-    feasible = [n for n in ladder if per * float(n) ** 1.35 * 7.0 <= budget]
+    feasible = [n for n in ladder
+                if per * float(n) ** 1.35 * 2.6 + 3.0e9 <= budget]
     n_run = max(feasible) if feasible else pilot_n
     if n_run == pilot_n:
         out = pilot

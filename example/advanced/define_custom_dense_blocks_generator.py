@@ -22,11 +22,20 @@ class CustomDenseBlocksGenerator(Htool.VirtualDenseBlocksGenerator):
         self.generator = generator
 
     def build_dense_blocks(self, rows_offsets, cols_offsets, blocks):
-        # group leaves by shape so each group fills in one vectorized call
+        # group leaves by shape so each group fills in one vectorized call:
+        # stack the row/col index sets and evaluate the kernel once per
+        # group on (n_blocks, rows, cols) index grids
         groups: dict[tuple, list[int]] = {}
         for i, b in enumerate(blocks):
             groups.setdefault(b.shape, []).append(i)
-        for shape, ids in groups.items():
-            for i in ids:
-                self.generator.build_submatrix(rows_offsets[i],
-                                               cols_offsets[i], blocks[i])
+        tp = self.generator.target_points
+        sp = self.generator.source_points
+        for _, ids in groups.items():
+            rows = np.stack([rows_offsets[i] for i in ids])  # (g, m)
+            cols = np.stack([cols_offsets[i] for i in ids])  # (g, n)
+            t = tp[:, rows]                                  # (dim, g, m)
+            s = sp[:, cols]                                  # (dim, g, n)
+            d = np.linalg.norm(t[:, :, :, None] - s[:, :, None, :], axis=0)
+            vals = 1.0 / (1e-1 + d)                          # (g, m, n)
+            for k, i in enumerate(ids):
+                blocks[i][...] = vals[k]

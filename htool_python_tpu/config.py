@@ -91,6 +91,21 @@ class Config:
     # not the bottleneck there), so off by default; kept as a tuning knob
     # for plans with many small blocks where rotate counts dominate.
     matvec_aligned_layout: bool = False
+    # Pallas product kernel structure (TPU): 'fused' = one launch, all
+    # buckets share the grid with byte-weighted windows; 'per_bucket' =
+    # one launch per bucket, partial outputs summed by XLA (each launch
+    # gets the whole VMEM window budget); 'seq' = per-bucket
+    # emit_pipeline loops inside one launch (measured 3x off the DMA
+    # rate — the emit_pipeline software scheduler costs ~11 us/step —
+    # kept as a diagnostics mode).  ops/pallas_matvec.py.
+    matvec_kernel_mode: str = "fused"
+    # dense-tier DDM local solves: 'invert' precomputes explicit subdomain
+    # inverses at facto time (one wide triangular solve) so each Krylov
+    # iteration applies ONE batched GEMM — batched (P, m, m) triangular
+    # solves per iteration are the TPU's slowest op (sequential row sweep,
+    # ~0.7 s/iter at m ~ 5000, the r04 ddm_gmres bottleneck).  'solve'
+    # keeps the factored form (less setup memory traffic).
+    ddm_dense_apply: str = "invert"
 
     def default_dtype(self, is_complex: bool) -> np.dtype:
         return self.complex_dtype if is_complex else self.real_dtype

@@ -46,6 +46,13 @@ _DENSE_SVD_MAX = 64 * 64
 _PROFILE = bool(os.environ.get("HTOOL_TPU_PROFILE"))
 
 
+# Per-phase wall-time breakdown of the LAST assemble() call (bench
+# surfaces it as `assembly_breakdown`).  Phase walls are approximate where
+# dispatch is async, but the ACA path syncs per chunk (rank pulls), so the
+# split is close; `lr_pack_s` includes the rank-class packing dispatches.
+ASSEMBLY_PROFILE: dict = {}
+
+
 def _is_device_generator(gen) -> bool:
     return hasattr(gen, "device_rows") and hasattr(gen, "device_cols")
 
@@ -153,18 +160,27 @@ def assemble(plan: BlockPlan, generator, epsilon: float, reqrank: int = -1,
     use_device = (_is_device_generator(generator)
                   and low_rank_generator is None and jnp is not None)
 
+    ASSEMBLY_PROFILE.clear()
+    t_all0 = time.perf_counter()
     # warm-up pays off where compiles/loads serialize over a remote link;
     # on CPU (tests) it would only add dummy work
     if use_device and jax.default_backend() == "tpu":
+        t0 = time.perf_counter()
         _warm_device_programs(plan, generator, epsilon, reqrank, dtype, cfg)
+        ASSEMBLY_PROFILE["warmup_s"] = round(time.perf_counter() - t0, 3)
 
+    ASSEMBLY_PROFILE["lr_aca_s"] = 0.0
+    ASSEMBLY_PROFILE["lr_pack_s"] = 0.0
     for b in plan.lowrank_buckets:
         rows_idx = _bucket_user_indices(perm_t, t_base, b, "t")
         cols_idx = _bucket_user_indices(perm_s, s_base, b, "s")
 
         if use_device and low_rank_generator is None:
+            t0 = time.perf_counter()
             chunks, ranks, ok, order, drop = _device_lr_bucket(
                 generator, b, rows_idx, cols_idx, epsilon, reqrank, dtype, cfg)
+            ASSEMBLY_PROFILE["lr_aca_s"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
             # device rows may be re-ordered (and duplicated by the rmax
             # escalation ladder) — align the bucket's host arrays with them
             b = _subset_bucket(b, order)
@@ -196,6 +212,7 @@ def assemble(plan: BlockPlan, generator, epsilon: float, reqrank: int = -1,
                 kept_lr_buckets.append(_subset_bucket(b, kept_idx[sk]))
                 lr_arrays.append(RankMajorFactors(Ut_c, V_c))
                 lr_ranks.append(kept_ranks[sk].astype(np.int32))
+            ASSEMBLY_PROFILE["lr_pack_s"] += time.perf_counter() - t0
             continue
 
         if low_rank_generator is not None:
@@ -242,6 +259,7 @@ def assemble(plan: BlockPlan, generator, epsilon: float, reqrank: int = -1,
     dense_tuples.extend(densify_blocks)
     dense_buckets = _bucketize(dense_tuples)
 
+    t_dense0 = time.perf_counter()
     dense_arrays = []
     if dense_blocks_generator is not None:
         # reference semantics: ONE callback with every dense leaf
@@ -293,6 +311,14 @@ def assemble(plan: BlockPlan, generator, epsilon: float, reqrank: int = -1,
                                           perm_s[c0:c0 + b.s_sz[i]], mat)
                 D[i, :b.t_sz[i], :b.s_sz[i]] = mat
             dense_arrays.append(jnp.asarray(D))
+
+    if use_device and jnp is not None:
+        jax.block_until_ready(dense_arrays)
+    ASSEMBLY_PROFILE["dense_fill_s"] = round(
+        time.perf_counter() - t_dense0, 3)
+    for k in ("lr_aca_s", "lr_pack_s"):
+        ASSEMBLY_PROFILE[k] = round(ASSEMBLY_PROFILE[k], 3)
+    ASSEMBLY_PROFILE["total_s"] = round(time.perf_counter() - t_all0, 3)
 
     import dataclasses
     new_plan = dataclasses.replace(plan, dense_buckets=dense_buckets,

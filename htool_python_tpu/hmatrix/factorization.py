@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
 from ..config import get_config
+from ..utils.complex_io import to_device, to_host
 
 
 def _hierarchical_factor(hmatrix, sym: str = "N"):
@@ -67,7 +68,7 @@ def lu_factorization(hmatrix) -> None:
             from ..utils.logger import get_logger
             get_logger().warning(
                 "%s; falling back to the dense LU path (O(n^2) memory)", e)
-    a = jnp.asarray(hmatrix.to_dense())
+    a = to_device(hmatrix.to_dense())
     lu, piv = jsl.lu_factor(a)
     hmatrix._factorization = ("lu", lu, piv)
 
@@ -89,7 +90,7 @@ def cholesky_factorization(hmatrix, UPLO: str = "L") -> None:
             get_logger().warning(
                 "%s; falling back to the dense Cholesky path "
                 "(O(n^2) memory)", e)
-    a = jnp.asarray(hmatrix.to_dense())
+    a = to_device(hmatrix.to_dense())
     c = jsl.cholesky(a, lower=(UPLO == "L"))
     hmatrix._factorization = ("cholesky", c, UPLO)
 
@@ -103,14 +104,14 @@ def _solve_internal(hmatrix, trans: str, b_int):
     if kind == "lu":
         _, lu, piv = hmatrix._factorization
         t = {"N": 0, "T": 1, "C": 2}[trans]
-        x = jsl.lu_solve((lu, piv), jnp.asarray(b2), trans=t)
+        x = jsl.lu_solve((lu, piv), to_device(b2), trans=t)
     elif kind == "hodlr":
         import logging
 
         from ..ops.hodlr import hodlr_solve
         from ..utils.logger import get_logger
         _, fact = hmatrix._factorization
-        b_dev = jnp.asarray(b2)
+        b_dev = to_device(b2)
         x = hodlr_solve(fact, b_dev, trans)
         log = get_logger()
         debug = log.isEnabledFor(logging.DEBUG)
@@ -133,12 +134,12 @@ def _solve_internal(hmatrix, trans: str, b_int):
         lower = UPLO == "L"
         # A = L L^H (lower) or U^H U (upper)
         if lower:
-            y = jsl.solve_triangular(c, jnp.asarray(b2), lower=True)
+            y = jsl.solve_triangular(c, to_device(b2), lower=True)
             x = jsl.solve_triangular(c.conj().T, y, lower=False)
         else:
-            y = jsl.solve_triangular(c.conj().T, jnp.asarray(b2), lower=True)
+            y = jsl.solve_triangular(c.conj().T, to_device(b2), lower=True)
             x = jsl.solve_triangular(c, y, lower=False)
-    x = np.asarray(x)
+    x = to_host(x)
     return x[:, 0] if squeeze else x
 
 

@@ -91,6 +91,7 @@ class HMatrix:
         self._dev_perms = None  # lazy device permutation cache
         self._planes_cache = None  # complex64 re/im plane split (TPU path)
         self._aligned_cache = None  # f32 lane-aligned low-rank layout
+        self._compacted = False  # True once compact_for_products freed _data
 
         nt, ns = plan.nb_rows, plan.nb_cols
         maxdim = max([b.pt for b in plan.dense_buckets + plan.lowrank_buckets]
@@ -171,6 +172,8 @@ class HMatrix:
             return self._planes_cache
 
         if self.dtype == np.float32 and get_config().matvec_aligned_layout:
+            if self._aligned_cache is False:  # memoized rejection: the
+                return self._data             # re-layout runs at most once
             if self._aligned_cache is None:
                 if (not on_pallas or self._data is None
                         or not self._data["lr"]):
@@ -178,6 +181,7 @@ class HMatrix:
                 cand = align_lowrank(self._data)
                 if not pallas_supported(cand["aligned"], self._pad_len, 1,
                                         self.dtype):
+                    self._aligned_cache = False
                     return self._data
                 self._aligned_cache = cand
             return self._aligned_cache
@@ -223,10 +227,22 @@ class HMatrix:
                 self._data["lr"][i] = None
             self._planes_cache = {"cplanes": {"dense": cd, "lr": cl}}
             self._data = None
+            self._compacted = True
             return
         pd = self._product_data()
         if pd is not self._data:
             self._data = None
+            self._compacted = True
+
+    def _assembly_data(self):
+        """The canonical bucket arrays, with an actionable error once
+        compact_for_products has freed them (product-only storage)."""
+        if self._data is None and self._compacted:
+            raise RuntimeError(
+                "assembly arrays were freed by compact_for_products(); "
+                "densify/recompression/factorization need them — rebuild "
+                "the operator or skip compaction")
+        return self._data
 
     def _apply_internal_2d(self, x2d, trans: str, data=None):
         """x2d: (nin, k) in internal numbering. Returns (nout, k).
@@ -332,7 +348,7 @@ class HMatrix:
         nt, ns = self.shape
         tb = self.plan.target_offset if self.plan.t_off_absolute else 0
         out = np.zeros((nt, ns), dtype=self.dtype)
-        for (D, t_off, s_off, mirror), b in zip(self._data["dense"],
+        for (D, t_off, s_off, mirror), b in zip(self._assembly_data()["dense"],
                                                 self.plan.dense_buckets):
             Dh = to_host(D)
             for i in range(b.nb):
@@ -408,6 +424,7 @@ class HMatrix:
         new._dev_perms = self._dev_perms  # immutable device arrays
         new._planes_cache = self._planes_cache  # immutable device arrays
         new._aligned_cache = self._aligned_cache
+        new._compacted = self._compacted
         new._pad_len = self._pad_len
         return new
 
@@ -507,18 +524,33 @@ class HMatrix:
     # rank-major Ut, see ops/matvec.py pack_bucket_data)
     def lowrank_leaves(self):
         out = []
-        for (Ut, V, *_), b, r in zip(self._data["lr"],
+        for (Ut, V, *_), b, r in zip(self._assembly_data()["lr"],
                                      self.plan.lowrank_buckets,
                                      self._lr_ranks):
             out.append((to_host(Ut).transpose(0, 2, 1), to_host(V),
                         b, r))
         return out
 
+    def _set_lr_structure(self, lowrank_buckets, lr_arrays, lr_ranks):
+        """Replace the low-rank buckets AND factors (recompression with
+        rank re-classing: recompressed ranks fall below their assembly
+        class, so re-bucketing trims the padded bytes products stream)."""
+        import dataclasses
+        dense_arrays = [d[0] for d in self._assembly_data()["dense"]]
+        self.plan = dataclasses.replace(self.plan,
+                                        lowrank_buckets=list(lowrank_buckets))
+        self._data = pack_bucket_data(
+            self.plan.dense_buckets, dense_arrays,
+            self.plan.lowrank_buckets, lr_arrays)
+        self._lr_ranks = [np.asarray(r) for r in lr_ranks]
+        self._planes_cache = None  # stale product-layout caches
+        self._aligned_cache = None
+
     def _set_lr_arrays(self, lr_arrays, lr_ranks):
         """Replace low-rank factors in place (recompression support)."""
         self._data = pack_bucket_data(
             self.plan.dense_buckets,
-            [d[0] for d in self._data["dense"]],
+            [d[0] for d in self._assembly_data()["dense"]],
             self.plan.lowrank_buckets, lr_arrays)
         self._lr_ranks = [np.asarray(r) for r in lr_ranks]
         self._planes_cache = None  # stale product-layout caches

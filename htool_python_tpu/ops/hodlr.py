@@ -219,6 +219,7 @@ def build_hodlr(apply_fn, n: int, dtype, eps: float, leaf_size: int = 256,
         parity = (row // m) % 2
         k = min(max(sample_size, 16), m)
         sides = ("up",) if sym in ("S", "H") else ("up", "lo")
+        retried = False
         while True:
             factors = []
             ok = True
@@ -249,6 +250,17 @@ def build_hodlr(apply_fn, n: int, dtype, eps: float, leaf_size: int = 256,
                 ranks0 = jnp.full((p,), k, dtype=jnp.int32)
                 U1, V1, r1 = batched_truncate(Q, V0, ranks0, eps)
                 r1 = np.asarray(r1)
+                # a numerically poisoned draw (e.g. f32 overflow through
+                # the power iterations) yields non-finite factors without
+                # saturating — detect it and redraw rather than silently
+                # shipping NaN factors
+                finite = bool(jnp.all(jnp.isfinite(U1))
+                              & jnp.all(jnp.isfinite(V1)))
+                if not finite:
+                    ok = False
+                    poisoned = True
+                    break
+                poisoned = False
                 # adaptivity: if any block saturated the sample budget the
                 # range was not captured — double k and redo the level
                 if k < m and len(r1) and int(r1.max()) > k - 4:
@@ -257,12 +269,26 @@ def build_hodlr(apply_fn, n: int, dtype, eps: float, leaf_size: int = 256,
                 factors.append((U1, V1, r1))
             if ok:
                 break
-            if k >= min(max_sample_size, m):
+            if poisoned or k >= min(max_sample_size, m):
+                if not retried:
+                    # one randomized retry with a fresh probe draw before
+                    # giving up: genuine high rank saturates again (the
+                    # captured rank is bounded by the true block rank for
+                    # any draw), but a numerically poisoned draw gets a
+                    # second chance with a fresh seed
+                    retried = True
+                    rng = np.random.default_rng(rng.integers(1 << 63))
+                    k = min(max(sample_size, 16), m)
+                    continue
+                if poisoned:
+                    raise HODLRRankSaturationError(
+                        f"HODLR level {j}: non-finite factors from the "
+                        "probe draw persisted after a fresh-seed retry")
                 raise HODLRRankSaturationError(
                     f"HODLR level {j}: off-diagonal rank exceeds the sample "
                     f"cap {min(max_sample_size, m)} (block size {m}, eps "
-                    f"{eps:g}); operator is not HODLR-compressible at this "
-                    "tolerance")
+                    f"{eps:g}) after a fresh-seed retry; operator is not "
+                    "HODLR-compressible at this tolerance")
             k = min(2 * k, m, max_sample_size)
         if sym in ("S", "H"):
             # mirror: A_ba = (U_up V_up)^sigma  =>  U_lo = V_up^sigma,

@@ -251,8 +251,8 @@ def planes_supported(data, L: int, k: int, x_dtype, sym: str) -> bool:
     """complex64 Pallas fast path applicability: unsymmetric storage (an
     'H' mirror needs an antisymmetric mode the kernel does not carry) and
     the plane-pair windows must fit the kernel's VMEM budget."""
-    from .pallas_matvec import _bucket_sizes, _group_size, \
-        _step_bytes_budget, _VMEM_BUDGET
+    from .pallas_matvec import _bucket_sizes, _vmem_model_bytes, \
+        _VMEM_BUDGET
 
     dtypes = ([d[0].dtype for d in data["dense"]]
               + [u.dtype for u, *_ in data["lr"]])
@@ -265,10 +265,44 @@ def planes_supported(data, L: int, k: int, x_dtype, sym: str) -> bool:
         return False
     vec_bytes = 2 * (2 * k) * max(L, 128) * 4
     sizes = _bucket_sizes(data, 8)  # plane pair = the full complex bytes
-    step_bytes = _step_bytes_budget(len(sizes))
-    blk_bytes = sum(_group_size(per, nb, step_bytes) * per
-                    for per, nb in sizes)
-    return vec_bytes + 2 * blk_bytes < _VMEM_BUDGET
+    return _vmem_model_bytes(sizes, vec_bytes) < _VMEM_BUDGET
+
+
+def planes_fit(cdata, L: int, k: int) -> bool:
+    """VMEM feasibility of the plane-split kernel for an ALREADY-SPLIT
+    pytree at the actual RHS width k (the cached layout was validated at
+    k=1 only — a later wide apply, e.g. HODLR peeling's 128-column
+    chunks, needs ~2*(2k)*L*4 bytes of vector scratch)."""
+    from .pallas_matvec import _VMEM_BUDGET, _vmem_model_bytes
+
+    vec_bytes = 2 * (2 * k) * max(L, 128) * 4
+    sizes = []
+    for entry in cdata["dense"]:
+        nb, pt, ps = entry[0].shape
+        sizes.append((pt * ps * 8, nb))
+    for entry in cdata["lr"]:
+        Ur, Vr = entry[0], entry[2]
+        sizes.append(((Ur.shape[1] * Ur.shape[2]
+                       + Vr.shape[1] * Vr.shape[2]) * 8, Ur.shape[0]))
+    return _vmem_model_bytes(sizes, vec_bytes) < _VMEM_BUDGET
+
+
+def _max_fit_k(fit, k: int) -> int:
+    """Largest power-of-two column-chunk width <= k the kernel fits;
+    floors at 1 (the cached layouts were validated feasible at k=1)."""
+    kc = k
+    while kc > 1 and not fit(kc):
+        kc //= 2
+    return kc
+
+
+def _apply_col_chunks(apply_one, x_pad, kc: int):
+    """Run the kernel over column chunks of width kc and concatenate —
+    the wide-RHS fallback when the whole (L, k) block would blow the
+    kernel's VMEM vector scratch."""
+    outs = [apply_one(x_pad[:, i:i + kc])
+            for i in range(0, x_pad.shape[1], kc)]
+    return jnp.concatenate(outs, axis=1)
 
 
 def resolve_backend(data, L: int, k: int, x_dtype, sym: str = "N") -> str:
@@ -300,17 +334,33 @@ def apply_hmatrix(data, x_pad, ny_pad: int, trans: str, sym: str,
     """Backend-dispatched bucketed product (see resolve_backend)."""
     from .pallas_matvec import apply_hmatrix_pallas
 
+    from .pallas_matvec import pallas_supported
+
     if backend is None:
         backend = resolve_backend(data, x_pad.shape[0], x_pad.shape[1],
                                   x_pad.dtype, sym)
     interpret = jax.default_backend() != "tpu"
+    L, k = x_pad.shape
     if backend == "planes":
         cdata = data["cplanes"] if is_planes(data) else \
             split_planes(data)["cplanes"]
+        kc = _max_fit_k(lambda kk: planes_fit(cdata, L, kk), k)
+        if kc < k:
+            return _apply_col_chunks(
+                lambda xc: _apply_planes(cdata, xc, ny_pad, trans, sym,
+                                         interpret), x_pad, kc)
         return _apply_planes(cdata, x_pad, ny_pad, trans, sym, interpret)
     if is_planes(data):
         raise ValueError("plane-split data requires the 'planes' backend")
     if backend == "pallas":
+        inner = data["aligned"] if is_aligned(data) else data
+        kc = _max_fit_k(
+            lambda kk: pallas_supported(inner, L, kk, x_pad.dtype), k)
+        if kc < k:
+            return _apply_col_chunks(
+                lambda xc: apply_hmatrix_pallas(data, xc, ny_pad, trans,
+                                                sym, interpret=interpret),
+                x_pad, kc)
         return apply_hmatrix_pallas(data, x_pad, ny_pad, trans, sym,
                                     interpret=interpret)
     if is_aligned(data):

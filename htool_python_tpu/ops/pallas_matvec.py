@@ -123,7 +123,31 @@ _STEP_BYTES = 1 << 20
 
 # unroll bound for the per-step block loop (the gather/scatter rotates are
 # per-block; the compute is batched across the whole step)
-_MAX_GROUP = 64
+import os as _os_env
+
+_MAX_GROUP = int(_os_env.environ.get("HTOOL_FUSED_MAX_GROUP", 96))
+
+# byte-weighted window sizing (round 5): equal VMEM splitting starved the
+# buckets that carry the data — the N=40000 plan's 15 equal ~1 MB windows
+# gave 426 grid steps at ~4.9 us each (2.07 ms total) while a uniform
+# single-bucket product with large windows runs at 718 GB/s
+# (tools/profile_matvec5_result.json).  Weighting windows by each
+# bucket's share of the stored bytes cuts the step count ~3.5x.
+_STEP_FLOOR = 1 << 18
+_STEP_CAP = int(_os_env.environ.get("HTOOL_FUSED_STEP_CAP", 8 << 20))
+
+
+def _weighted_step_budgets(entries) -> list[int]:
+    """Per-bucket step-window byte targets proportional to bucket bytes."""
+    sizes = []
+    for kind, blocks, *_ in entries:
+        per = sum(int(np.prod(b.shape[1:])) * b.dtype.itemsize
+                  for b in blocks)
+        sizes.append((per, per * blocks[0].shape[0]))
+    total = sum(t for _, t in sizes) or 1
+    budget = _VMEM_BUDGET * 2 // 5
+    return [max(_STEP_FLOOR, min(_STEP_CAP, budget * b_bytes // total))
+            for _, b_bytes in sizes]
 
 
 def _step_bytes_budget(n_buckets: int) -> int:
@@ -153,6 +177,38 @@ def _bucket_sizes(data, itemsize):
     return out
 
 
+def _vmem_model_bytes(sizes, vec_bytes: int) -> int:
+    """Peak VMEM estimate for the active kernel structure: the sequential
+    kernel (TPU default) holds ONE double-buffered bucket window at a
+    time (scoped emit_pipeline allocations); the outer-grid fused kernel
+    holds every bucket's window simultaneously."""
+    import jax as _j
+
+    from ..config import get_config
+
+    mode = get_config().matvec_kernel_mode \
+        if _j.default_backend() == "tpu" else "fused"
+    if mode == "seq":
+        win = 0
+        for per, nb in sizes:
+            G = int(min(_SEQ_MAX_GROUP, max(1, _SEQ_STEP_BYTES // per),
+                        max(nb, 1)))
+            win = max(win, G * per)
+        return vec_bytes + 2 * win
+    if mode == "per_bucket":
+        win = max((_group_size(per, nb, _STEP_CAP) * per
+                   for per, nb in sizes), default=0)
+        return vec_bytes + 2 * win
+    total = sum(per * nb for per, nb in sizes) or 1
+    budget = _VMEM_BUDGET * 2 // 5
+    blk_bytes = 0
+    for per, nb in sizes:
+        share = max(_STEP_FLOOR, min(_STEP_CAP,
+                                     budget * per * nb // total))
+        blk_bytes += _group_size(per, nb, share) * per
+    return vec_bytes + 2 * blk_bytes
+
+
 def pallas_supported(data, L: int, k: int, x_dtype) -> bool:
     """True if the Pallas path can run this product (real dtype, VMEM fit)."""
     dtypes = ([d[0].dtype for d in data["dense"]]
@@ -163,13 +219,8 @@ def pallas_supported(data, L: int, k: int, x_dtype) -> bool:
         return False  # f64 is emulated on TPU; XLA path handles parity runs
     itemsize = jnp.dtype(x_dtype).itemsize
     vec_bytes = 2 * k * max(L, 128) * itemsize
-    # the fused kernel holds EVERY bucket's current step block (double
-    # buffered) in VMEM simultaneously
     sizes = _bucket_sizes(data, itemsize)
-    step_bytes = _step_bytes_budget(len(sizes))
-    blk_bytes = sum(_group_size(per, nb, step_bytes) * per
-                    for per, nb in sizes)
-    return vec_bytes + 2 * blk_bytes < _VMEM_BUDGET
+    return _vmem_model_bytes(sizes, vec_bytes) < _VMEM_BUDGET
 
 
 def _term_fwd(kind, mats, xg, dtype):
@@ -303,6 +354,86 @@ def _cterm_tr(kind, mats, xt, dtype, csign):
 _N_BLOCKS = {"dense": 1, "lr": 2, "alr": 2, "cdense": 2, "clr": 4}
 
 
+def _step_body(kind, G, dims, blocks, bases, merged, swapped, sym, csign,
+               j0, meta_ref, x_ref, y_ref, g_proc=None):
+    """One bucket's per-step work on g_proc (<= G) blocks starting at flat
+    index j0: gather -> batched block term -> scatter-accumulate (+ mirror
+    term for symmetric storage).  `blocks` are the step's VMEM refs.
+    Shared by the outer-grid fused kernel and the sequential emit_pipeline
+    kernel.  g_proc < G happens only on a bucket's RAGGED TAIL step (nb
+    not a G multiple): the window's trailing rows hold stale/garbage data
+    and are simply not touched — this is what lets the launch pass bucket
+    arrays to the pipeline UNPADDED (an in-jit jnp.pad re-copied the
+    whole bucket on every product: the r04 kernel's hidden 3x HBM traffic
+    on every real plan, tools/profile_matvec9g_result.json)."""
+    if g_proc is None:
+        g_proc = G
+    bt, bs, bm = bases
+    dtype = y_ref.dtype
+    pt = dims[0]
+    ps = dims[-1]
+    r = dims[1] if len(dims) == 3 else 0
+    cplx = kind in ("cdense", "clr")
+    load = _load_al if kind == "alr" else _load_seg
+    accum = _accum_al if kind == "alr" else _accum_seg
+    # re-split fused buffers with static second-axis slices
+    if kind in ("dense",):
+        mats = (blocks[0][...],)
+    elif kind == "cdense":
+        M = blocks[0][...]
+        mats = (M[:, :pt], M[:, pt:]) if merged \
+            else (blocks[0][...], blocks[1][...])
+    elif kind in ("lr", "alr"):
+        if merged:
+            M = blocks[0][...]
+            mats = (M[:, :r], M[:, r:])
+        else:
+            mats = (blocks[0][...], blocks[1][...])
+    else:  # clr
+        if merged:
+            M = blocks[0][...]
+            mats = (M[:, :r], M[:, r:2 * r], M[:, 2 * r:3 * r],
+                    M[:, 3 * r:])
+        else:
+            MU = blocks[0][...]
+            MV = blocks[1][...]
+            mats = (MU[:, :r], MU[:, r:], MV[:, :r], MV[:, r:])
+    if g_proc != mats[0].shape[0]:
+        mats = tuple(m[:g_proc] for m in mats)
+    # main term: apply B ('N') / B^T (swapped); mirror term (only
+    # for symmetric storage) applies the opposite direction at the
+    # reflected offsets, masked per block by `mir`
+    in_b, in_w = (bs, ps) if not swapped else (bt, pt)
+    out_b, out_w = (bt, pt) if not swapped else (bs, ps)
+    xg = jnp.stack([load(x_ref, meta_ref[in_b + j0 + g], in_w)
+                    for g in range(g_proc)])  # (g_proc, k, in_w)
+    if _PROF_SKIP_TERM:
+        # stand-in keeping the gathers and the block DMA alive
+        # (valid for square buckets: in_w == out_w): one reduce per
+        # data tile, scalar-scaled pass-through of the gathers
+        tot = sum(jnp.sum(m) for m in mats)
+        out = (xg * (tot * 1e-30).astype(dtype))[:, :, :out_w]
+    elif cplx:
+        term = _cterm_fwd if not swapped else _cterm_tr
+        out = term(kind, mats, xg, dtype, csign)
+    else:
+        term = _term_fwd if not swapped else _term_tr
+        out = term(kind, mats, xg, dtype)  # (G, k, out_w)
+    k = xg.shape[1]
+    for g in range(g_proc):
+        accum(y_ref, meta_ref[out_b + j0 + g], out_w,
+              out[g:g + 1].reshape(k, out_w))
+    if sym:
+        xm = jnp.stack([load(x_ref, meta_ref[out_b + j0 + g], out_w)
+                        for g in range(g_proc)])
+        mterm = _term_tr if not swapped else _term_fwd
+        outm = mterm(kind, mats, xm, dtype)  # (g_proc, k, in_w)
+        for g in range(g_proc):
+            accum(y_ref, meta_ref[in_b + j0 + g], in_w,
+                  outm[g:g + 1].reshape(k, in_w)
+                  * meta_ref[bm + j0 + g].astype(dtype))
+
+
 def _fused_kernel(bucket_meta, resident, *refs):
     """One grid step of the FUSED product: every bucket owns a contiguous
     range of grid steps; outside its range a bucket's index map freezes
@@ -344,79 +475,22 @@ def _fused_kernel(bucket_meta, resident, *refs):
             y_ref[:] = jnp.zeros_like(y_ref)
 
     blk_pos = 0
-    for b, (kind, start, steps, G, dims, swapped, sym, csign, merged,
-            bases) in enumerate(bucket_meta):
+    for b, (kind, start, steps, G, g_proc, j0_base, dims, swapped, sym,
+            csign, merged, bases, own_blocks) in enumerate(bucket_meta):
         nblk = 1 if merged else (2 if kind == "clr" else _N_BLOCKS[kind])
-        blocks = rest[blk_pos:blk_pos + nblk]
-        blk_pos += nblk
+        if own_blocks:
+            blocks = rest[blk_pos:blk_pos + nblk]
+            blk_pos += nblk
+        # a ragged-tail entry (own_blocks False) reuses the main segment's
+        # buffer refs: same pipelined window, fewer processed blocks
 
         @pl.when((i >= start) & (i < start + steps))
-        def _(kind=kind, start=start, G=G, dims=dims, blocks=blocks,
-              bases=bases, merged=merged, swapped=swapped, sym=sym,
-              csign=csign, i=i):
-            bt, bs, bm = bases
-            j0 = (i - start) * G
-            dtype = y_ref.dtype
-            pt = dims[0]
-            ps = dims[-1]
-            r = dims[1] if len(dims) == 3 else 0
-            cplx = kind in ("cdense", "clr")
-            load = _load_al if kind == "alr" else _load_seg
-            accum = _accum_al if kind == "alr" else _accum_seg
-            # re-split fused buffers with static second-axis slices
-            if kind in ("dense",):
-                mats = (blocks[0][...],)
-            elif kind == "cdense":
-                M = blocks[0][...]
-                mats = (M[:, :pt], M[:, pt:]) if merged \
-                    else (blocks[0][...], blocks[1][...])
-            elif kind in ("lr", "alr"):
-                if merged:
-                    M = blocks[0][...]
-                    mats = (M[:, :r], M[:, r:])
-                else:
-                    mats = (blocks[0][...], blocks[1][...])
-            else:  # clr
-                if merged:
-                    M = blocks[0][...]
-                    mats = (M[:, :r], M[:, r:2 * r], M[:, 2 * r:3 * r],
-                            M[:, 3 * r:])
-                else:
-                    MU = blocks[0][...]
-                    MV = blocks[1][...]
-                    mats = (MU[:, :r], MU[:, r:], MV[:, :r], MV[:, r:])
-            # main term: apply B ('N') / B^T (swapped); mirror term (only
-            # for symmetric storage) applies the opposite direction at the
-            # reflected offsets, masked per block by `mir`
-            in_b, in_w = (bs, ps) if not swapped else (bt, pt)
-            out_b, out_w = (bt, pt) if not swapped else (bs, ps)
-            xg = jnp.stack([load(x_ref, meta_ref[in_b + j0 + g], in_w)
-                            for g in range(G)])  # (G, k, in_w)
-            if _PROF_SKIP_TERM:
-                # stand-in keeping the gathers and the block DMA alive
-                # (valid for square buckets: in_w == out_w): one reduce per
-                # data tile, scalar-scaled pass-through of the gathers
-                tot = sum(jnp.sum(m) for m in mats)
-                out = (xg * (tot * 1e-30).astype(dtype))[:, :, :out_w]
-            elif cplx:
-                term = _cterm_fwd if not swapped else _cterm_tr
-                out = term(kind, mats, xg, dtype, csign)
-            else:
-                term = _term_fwd if not swapped else _term_tr
-                out = term(kind, mats, xg, dtype)  # (G, k, out_w)
-            k = xg.shape[1]
-            for g in range(G):
-                accum(y_ref, meta_ref[out_b + j0 + g], out_w,
-                      out[g:g + 1].reshape(k, out_w))
-            if sym:
-                xm = jnp.stack([load(x_ref, meta_ref[out_b + j0 + g], out_w)
-                                for g in range(G)])
-                mterm = _term_tr if not swapped else _term_fwd
-                outm = mterm(kind, mats, xm, dtype)  # (G, k, in_w)
-                for g in range(G):
-                    accum(y_ref, meta_ref[in_b + j0 + g], in_w,
-                          outm[g:g + 1].reshape(k, in_w)
-                          * meta_ref[bm + j0 + g].astype(dtype))
+        def _(kind=kind, start=start, G=G, g_proc=g_proc, j0_base=j0_base,
+              dims=dims, blocks=blocks, bases=bases, merged=merged,
+              swapped=swapped, sym=sym, csign=csign, i=i):
+            _step_body(kind, G, dims, blocks, bases, merged, swapped, sym,
+                       csign, j0_base + (i - start) * G, meta_ref, x_ref,
+                       y_ref, g_proc=g_proc)
 
     if resident:
         @pl.when(i == pl.num_programs(0) - 1)
@@ -424,6 +498,30 @@ def _fused_kernel(bucket_meta, resident, *refs):
             cp = pltpu.make_async_copy(y_ref, y_hbm, sem_out)
             cp.start()
             cp.wait()
+
+
+def _kernel_mode(interpret: bool) -> str:
+    """Kernel structure selection (config.matvec_kernel_mode): interpret
+    mode always runs the fused kernel (the generic interpreter has no DMA
+    semantics for the manual x/y copies in 'seq')."""
+    from ..config import get_config
+
+    if interpret:
+        return "fused"
+    return get_config().matvec_kernel_mode
+
+
+def _launch_per_bucket(entries, xT, swapped, symmetric, csign, interpret):
+    """One pallas_call per bucket, partial (k, L) outputs summed by XLA:
+    every launch's double-buffered window gets the whole VMEM budget (no
+    cross-bucket split), at the price of one kernel dispatch + an x/y
+    vector round-trip per bucket (~1 MB each, negligible next to the
+    block stream)."""
+    out = None
+    for e in entries:
+        y = _launch_fused([e], xT, swapped, symmetric, csign, interpret)
+        out = y if out is None else out + y
+    return out
 
 
 @partial(jax.jit, static_argnames=("ny_pad", "trans", "sym", "interpret"))
@@ -448,7 +546,14 @@ def apply_hmatrix_pallas(data, x_pad, ny_pad: int, trans: str, sym: str,
     if not entries:
         return x_pad * 0
     xT = jnp.swapaxes(x_pad, 0, 1)  # (k, L): minor dim dense across lanes
-    yT = _launch_fused(entries, xT, swapped, symmetric, 1.0, interpret)
+    mode = _kernel_mode(interpret)
+    if mode == "seq":
+        yT = _launch_seq(entries, xT, swapped, symmetric, 1.0)
+    elif mode == "per_bucket":
+        yT = _launch_per_bucket(entries, xT, swapped, symmetric, 1.0,
+                                interpret)
+    else:
+        yT = _launch_fused(entries, xT, swapped, symmetric, 1.0, interpret)
     return jnp.swapaxes(yT, 0, 1)
 
 
@@ -474,9 +579,165 @@ def apply_hmatrix_pallas_complex(cdata, x_pad, ny_pad: int, trans: str,
                          axis=1).astype(jnp.float32)
     xT = jnp.swapaxes(x2, 0, 1)  # (2k, L)
     csign = -1.0 if trans == "C" else 1.0
-    yT = _launch_fused(entries, xT, trans != "N", False, csign, interpret)
+    mode = _kernel_mode(interpret)
+    if mode == "seq":
+        yT = _launch_seq(entries, xT, trans != "N", False, csign)
+    elif mode == "per_bucket":
+        yT = _launch_per_bucket(entries, xT, trans != "N", False, csign,
+                                interpret)
+    else:
+        yT = _launch_fused(entries, xT, trans != "N", False, csign,
+                           interpret)
     y2 = jnp.swapaxes(yT, 0, 1)  # (L, 2k)
     return (y2[:, :k] + 1j * y2[:, k:]).astype(x_pad.dtype)
+
+
+def _pad_bucket(blocks, t_off, s_off, mir, G):
+    """Pad a bucket's arrays so nb is a multiple of the group size G
+    (padding blocks are zero data at offset 0 — they add nothing)."""
+    nb = t_off.shape[0]
+    nb_pad = -(-nb // G) * G
+    if nb_pad != nb:
+        p = nb_pad - nb
+        blocks = tuple(jnp.pad(b, ((0, p),) + ((0, 0),) * (b.ndim - 1))
+                       for b in blocks)
+        t_off = jnp.pad(t_off, (0, p))
+        s_off = jnp.pad(s_off, (0, p))
+        mir = jnp.pad(mir, (0, p))
+    return blocks, t_off, s_off, mir, nb_pad
+
+
+def _merge_bucket(kind, blocks):
+    """Fuse a bucket's factor arrays into fewer buffers when the minor
+    widths match (dense/cdense second axes always do; lr needs pt == ps);
+    rectangular clr fuses the re/im plane pairs.  Returns (blocks, merged)."""
+    if len(blocks) > 1 and all(b.shape[2] == blocks[0].shape[2]
+                               for b in blocks):
+        return (jnp.concatenate(blocks, axis=1),), True
+    if kind == "clr":
+        return (jnp.concatenate(blocks[0:2], axis=1),
+                jnp.concatenate(blocks[2:4], axis=1)), False
+    return blocks, False
+
+
+# Sequential-pipeline kernel tuning: per-bucket inner pipelines run one
+# at a time, so each window can take the whole VMEM block budget.  Large
+# steps amortize the ~1 us/step pipeline cost; the group cap bounds the
+# unrolled per-block gather/accumulate code (compile size) — per-block
+# vector ops hide under the DMA once steps are MBs (measured: a uniform
+# single-bucket r16 640-wide product runs at 718 GB/s vs the 768 GB/s
+# stream floor, tools/profile_matvec5_result.json).
+import os as _os
+
+_SEQ_STEP_BYTES = int(_os.environ.get("HTOOL_SEQ_STEP_BYTES", 4 << 20))
+_SEQ_MAX_GROUP = int(_os.environ.get("HTOOL_SEQ_MAX_GROUP", 96))
+
+
+def _launch_seq(entries, xT, swapped, symmetric, csign):
+    """Sequential per-bucket pipelines inside ONE pallas_call: x/y live in
+    VMEM scratch for the whole launch; each bucket streams its blocks
+    through its own double-buffered emit_pipeline window (scoped VMEM).
+
+    This replaces the outer-grid fused kernel on TPU: with B buckets that
+    kernel keeps ~B live pipelined buffers and splits the VMEM budget
+    across them — the per-step bookkeeping of all those buffers (the
+    buffer-count degradation measured in tools/profile_matvec3.py) plus
+    the VMEM-divided step sizes cost ~3x the DMA floor on realistic
+    15-bucket plans.  Here exactly ONE window is active at a time, so
+    steps are ~4 MB and bookkeeping is one buffer's."""
+    k, L = xT.shape
+    bucket_meta = []   # (kind, steps, G, dims, merged, bases, nblk)
+    scalar_parts = []
+    scalar_len = 0
+    block_args = []
+    specs_all = []     # per-bucket list of inner BlockSpecs
+    def pad128(b):
+        """emit_pipeline DMA-slices the HBM memref directly, so the block
+        lane extent must be a 128 multiple and the sublane extent an 8
+        multiple (the outer-grid pipeline pads these internally); zero
+        padding keeps the product exact — padded factor columns multiply
+        into padded x lanes as zeros."""
+        r8 = -(-b.shape[1] // 8) * 8
+        w128 = -(-b.shape[2] // 128) * 128
+        if (r8, w128) != b.shape[1:]:
+            b = jnp.pad(b, ((0, 0), (0, r8 - b.shape[1]),
+                            (0, w128 - b.shape[2])))
+        return b
+
+    for kind, blocks, t_off, s_off, mir in entries:
+        blocks = tuple(pad128(b) for b in blocks)
+        if kind in ("dense", "cdense"):
+            nb, pt, ps = blocks[0].shape
+            dims = (pt, ps)
+        else:
+            nb, r, pt = blocks[0].shape
+            ps = blocks[-1].shape[2]
+            dims = (pt, r, ps)
+        per = sum(int(np.prod(b.shape[1:])) * b.dtype.itemsize
+                  for b in blocks)
+        G = int(min(_SEQ_MAX_GROUP, max(1, _SEQ_STEP_BYTES // per), nb))
+        blocks, t_off, s_off, mir, nb_pad = _pad_bucket(
+            blocks, jnp.asarray(t_off, jnp.int32),
+            jnp.asarray(s_off, jnp.int32), jnp.asarray(mir, jnp.int32), G)
+        steps = nb_pad // G
+        blocks, merged = _merge_bucket(kind, blocks)
+        bases = (scalar_len, scalar_len + nb_pad, scalar_len + 2 * nb_pad)
+        scalar_parts.extend([t_off, s_off, mir])
+        scalar_len += 3 * nb_pad
+        bucket_meta.append((kind, steps, G, dims, merged, bases,
+                            len(blocks)))
+        specs_all.append([
+            pl.BlockSpec((G,) + tuple(b.shape[1:]),
+                         lambda i, nd=b.ndim: (i,) + (0,) * (nd - 1))
+            for b in blocks])
+        block_args.extend(blocks)
+    meta = jnp.concatenate(scalar_parts)
+    nargs = len(block_args)
+
+    def kernel(meta_ref, *refs):
+        bucket_refs = refs[:nargs]
+        x_hbm = refs[nargs]
+        y_hbm = refs[nargs + 1]
+        x_ref, y_ref, sem_in, sem_out = refs[nargs + 2:]
+        cp = pltpu.make_async_copy(x_hbm, x_ref, sem_in)
+        cp.start()
+        cp.wait()
+        y_ref[:] = jnp.zeros_like(y_ref)
+        pos = 0
+        for (kind, steps, G, dims, merged, bases, nblk), specs in zip(
+                bucket_meta, specs_all):
+            bufs = bucket_refs[pos:pos + nblk]
+            pos += nblk
+
+            def body(*blk_refs, kind=kind, G=G, dims=dims, merged=merged,
+                     bases=bases):
+                j0 = pl.program_id(0) * G  # inner grid index (grid_env)
+                _step_body(kind, G, dims, blk_refs, bases, merged,
+                           swapped, symmetric, csign, j0, meta_ref,
+                           x_ref, y_ref)
+
+            pltpu.emit_pipeline(body, grid=(steps,), in_specs=specs)(*bufs)
+        cp2 = pltpu.make_async_copy(y_ref, y_hbm, sem_out)
+        cp2.start()
+        cp2.wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (nargs + 1),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.VMEM((k, L), xT.dtype),
+                        pltpu.VMEM((k, L), xT.dtype),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, L), xT.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=114 * 1024 * 1024),
+    )(meta, *block_args, xT)
 
 
 def _launch_fused(entries, xT, swapped, symmetric, csign, interpret):
@@ -500,20 +761,8 @@ def _launch_fused(entries, xT, swapped, symmetric, csign, interpret):
     in_specs = []
     start = 0
 
-    def pad_bucket(blocks, t_off, s_off, mir, G):
-        nb = t_off.shape[0]
-        nb_pad = -(-nb // G) * G
-        if nb_pad != nb:
-            p = nb_pad - nb
-            blocks = tuple(jnp.pad(b, ((0, p),) + ((0, 0),) * (b.ndim - 1))
-                           for b in blocks)
-            t_off = jnp.pad(t_off, (0, p))
-            s_off = jnp.pad(s_off, (0, p))
-            mir = jnp.pad(mir, (0, p))
-        return blocks, t_off, s_off, mir, nb_pad
-
-    step_bytes = _step_bytes_budget(len(entries))
-    for kind, blocks, t_off, s_off, mir in entries:
+    step_budget = _weighted_step_budgets(entries)
+    for bidx, (kind, blocks, t_off, s_off, mir) in enumerate(entries):
         if kind in ("dense", "cdense"):
             nb, pt, ps = blocks[0].shape
             dims = (pt, ps)
@@ -523,13 +772,21 @@ def _launch_fused(entries, xT, swapped, symmetric, csign, interpret):
             dims = (pt, r, ps)
         per = sum(int(np.prod(b.shape[1:])) * b.dtype.itemsize
                   for b in blocks)
-        G = _group_size(per, nb, step_bytes)
-        blocks, t_off, s_off, mir, nb_pad = pad_bucket(
-            blocks, jnp.asarray(t_off, jnp.int32),
-            jnp.asarray(s_off, jnp.int32), jnp.asarray(mir, jnp.int32), G)
-        steps = nb_pad // G
-        # fuse the bucket's arrays into one buffer when the minor widths
-        # match (dense/cdense second axes always do; lr needs pt == ps)
+        G = _group_size(per, nb, step_budget[bidx])
+        t_off = jnp.asarray(t_off, jnp.int32)
+        s_off = jnp.asarray(s_off, jnp.int32)
+        mir = jnp.asarray(mir, jnp.int32)
+        # RAGGED split: steps_full G-sized steps + one tail step of the
+        # remaining nb % G blocks, reading the bucket arrays UNPADDED.
+        # Padding nb to a G multiple with jnp.pad instead would re-COPY
+        # the whole bucket inside every product jit — the r04 kernel's
+        # dominant hidden cost (~3x HBM traffic; real plans never have
+        # G-multiple buckets, tools/profile_matvec9g_result.json).  The
+        # tail window's trailing rows are stale garbage the kernel never
+        # reads (g_proc bounds every per-block loop).
+        steps_full = nb // G
+        tail = nb % G
+        steps = steps_full + (1 if tail else 0)
         merged = False
         if len(blocks) > 1 and all(b.shape[2] == blocks[0].shape[2]
                                    for b in blocks):
@@ -539,11 +796,17 @@ def _launch_fused(entries, xT, swapped, symmetric, csign, interpret):
             # rectangular complex low-rank: fuse the re/im plane pairs
             blocks = (jnp.concatenate(blocks[0:2], axis=1),
                       jnp.concatenate(blocks[2:4], axis=1))
-        bases = (scalar_len, scalar_len + nb_pad, scalar_len + 2 * nb_pad)
+        bases = (scalar_len, scalar_len + nb, scalar_len + 2 * nb)
         scalar_parts.extend([t_off, s_off, mir])
-        scalar_len += 3 * nb_pad
-        bucket_meta.append((kind, start, steps, G, dims, swapped, symmetric,
-                            csign, merged, bases))
+        scalar_len += 3 * nb
+        if steps_full:
+            bucket_meta.append((kind, start, steps_full, G, G, 0, dims,
+                                swapped, symmetric, csign, merged, bases,
+                                True))
+        if tail:
+            bucket_meta.append((kind, start + steps_full, 1, G, tail,
+                                steps_full * G, dims, swapped, symmetric,
+                                csign, merged, bases, not steps_full))
         for b in blocks:
             # frozen index map: constant block index outside this bucket's
             # grid range -> the pipeline does not re-DMA it

@@ -165,12 +165,43 @@ def assemble_geneo_coarse_space(solver, space_builders) -> np.ndarray | None:
 
 
 class GeneoCoarseOperatorBuilder:
-    """E = Z^H A Z via global products of the distributed operator."""
+    """E = Z^H A Z via global products of the distributed operator
+    (reference: coarse_operator_builder.hpp:9-14).
+
+    When every local operator is device-backed, A Z runs as ONE jitted
+    device program over blocked columns of Z (the same batched path the
+    Krylov loop uses) and E = Z^H (A Z) reduces on device — the host
+    `matvec_global` fallback applies partitions sequentially per column
+    block, which at scale makes the two-level setup a bottleneck (r04
+    weak #5).  Custom Python local operators keep the host path."""
+
+    COLUMN_CHUNK = 64
 
     def __init__(self, distributed_operator):
         self.distributed_operator = distributed_operator
 
     def build_coarse_operator(self, Z: np.ndarray) -> np.ndarray:
-        AZ = self.distributed_operator.matvec_global(
-            np.asarray(Z, order="F"))
-        return Z.conj().T @ AZ
+        A = self.distributed_operator
+        Z = np.asarray(Z)
+        if not A.device_apply_available() or Z.ndim != 2 or Z.shape[1] == 0:
+            AZ = A.matvec_global(np.asarray(Z, order="F"))
+            return Z.conj().T @ AZ
+        import jax
+        import jax.numpy as jnp
+
+        from ..utils.complex_io import to_device, to_host
+
+        apply = A.build_device_apply()
+        ops = apply.operands
+        ncol = Z.shape[1]
+        chunk = min(self.COLUMN_CHUNK, ncol)
+        ncol_pad = -(-ncol // chunk) * chunk
+        Zp = np.zeros((Z.shape[0], ncol_pad), dtype=Z.dtype)
+        Zp[:, :ncol] = Z
+        Zd = to_device(Zp)
+        run = jax.jit(lambda ops_tree, xc: apply(ops_tree, xc))
+        AZ = jnp.concatenate(
+            [run(ops, jax.lax.dynamic_slice_in_dim(Zd, i, chunk, 1))
+             for i in range(0, ncol_pad, chunk)], axis=1)
+        E = to_host(Zd.conj().T @ AZ)
+        return np.asarray(E[:ncol, :ncol])

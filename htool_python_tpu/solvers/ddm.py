@@ -129,7 +129,7 @@ class DDMSolver:
         self.distributed_operator = distributed_operator
         self.subdomains = subdomains
         self.options = dict(DEFAULTS)
-        self._facto = None  # dense tier: (lu (P,mp,mp), piv, idx_pad, mp)
+        self._facto = None  # dense tier: (kind, solver_data, idx_pad, mp)
         self._hier = []  # hierarchical tier (H-LU local solves)
         self._facto_done = False
         self._weights = None  # {'ras': (P,mp), 'asm': (P,mp)} device arrays
@@ -180,15 +180,27 @@ class DDMSolver:
                 m = s.size
                 A[i, :m, :m] = s.dense_matrix()
                 A[i, range(m, mp), range(m, mp)] = 1.0  # identity pad
-            lu, piv = jsl.lu_factor(jnp.asarray(A))
-            idx_pad = np.full((P, mp), n, dtype=np.int64)  # pad -> dummy row
+            lu, piv = jsl.lu_factor(to_device(A))
+            # Per-iteration batched triangular solves of (P, mp, mp) are
+            # the TPU's worst-case op (sequential row sweep: ~0.7 s per
+            # GMRES iteration at mp ~ 5000, the r04 ddm_gmres bottleneck).
+            # Invert ONCE at setup (a single wide triangular solve) so the
+            # preconditioner application is one batched GEMM per
+            # iteration; same bytes held afterwards (inv replaces lu).
+            if get_config().ddm_dense_apply == "invert":
+                eye = jnp.broadcast_to(
+                    jnp.eye(mp, dtype=lu.dtype), (P, mp, mp))
+                inv = jsl.lu_solve((lu, piv), eye)
+                self._facto = ("inv", (inv,), jnp.asarray(idx_pad_arr(
+                    subs, P, mp, n)), mp)
+            else:
+                self._facto = ("lu", (lu, piv), jnp.asarray(idx_pad_arr(
+                    subs, P, mp, n)), mp)
             W_ras = np.zeros((P, mp))
             W_asm = np.zeros((P, mp))
             for i, s in enumerate(subs):
-                idx_pad[i, :s.size] = s.ovr_to_global
                 W_ras[i, :s.size] = s.partition_of_unity()
                 W_asm[i, :s.size] = 1.0
-            self._facto = (lu, piv, jnp.asarray(idx_pad), mp)
             self._weights = {"ras": jnp.asarray(W_ras),
                              "asm": jnp.asarray(W_asm)}
 
@@ -215,8 +227,8 @@ class DDMSolver:
         operands protocol so outer jits take it as an argument)."""
         dense = None
         if self._facto is not None:
-            lu, piv, idx_pad, _ = self._facto
-            dense = (lu, piv, idx_pad, self._weights[method])
+            kind, solver_data, idx_pad, _ = self._facto
+            dense = (solver_data, idx_pad, self._weights[method])
         hier = tuple((h["solver"].operands, h["idx"], h["w_" + method])
                      for h in self._hier)
         return {"dense": dense, "hier": hier}
@@ -236,16 +248,20 @@ class DDMSolver:
         n = self.distributed_operator.shape[0]
         dts = [r2d.dtype]
         if state["dense"] is not None:
-            dts.append(state["dense"][0].dtype)
+            dts.append(state["dense"][0][0].dtype)
         dts.extend(h["solver"].dtype for h in self._hier)
         dtype = jnp.result_type(*dts)
         out = jnp.zeros((n + 1, r2d.shape[1]), dtype=dtype)
         r_ext = jnp.concatenate(
             [r2d, jnp.zeros((1, r2d.shape[1]), dtype=r2d.dtype)])
         if state["dense"] is not None:
-            lu, piv, idx_pad, W = state["dense"]
+            solver_data, idx_pad, W = state["dense"]
             X = r_ext[idx_pad]  # (P, mp, k)
-            Z = jsl.lu_solve((lu, piv), X) * W[:, :, None]
+            if self._facto[0] == "inv":
+                Z = jnp.einsum("pij,pjk->pik", solver_data[0], X)
+            else:
+                Z = jsl.lu_solve(solver_data, X)
+            Z = Z * W[:, :, None]
             out = out.at[idx_pad].add(Z.astype(dtype))
         for h, (solver_ops, idx, w) in zip(self._hier, state["hier"]):
             rs = r2d[idx]  # (m, k)
@@ -301,7 +317,7 @@ class DDMSolver:
 
     def _apply_one_level(self, r: np.ndarray, method: str) -> np.ndarray:
         """Host wrapper of the batched one-level application."""
-        return np.asarray(self._one_level_device(jnp.asarray(r), method))
+        return to_host(self._one_level_device(to_device(r), method))
 
     def _apply_coarse(self, r: np.ndarray) -> np.ndarray:
         Z, E_lu = self._coarse
@@ -345,7 +361,10 @@ class DDMSolver:
         E = operator_builder.build_coarse_operator(Z)
         import scipy.linalg as sla
         self._coarse = (Z, sla.lu_factor(E))
-        self._coarse_dev = (jnp.asarray(Z), jsl.lu_factor(jnp.asarray(E)))
+        # complex Z/E go through the re/im-pair shim: a raw complex
+        # jnp.asarray is the host->device transfer the remote TPU backend
+        # leaves unimplemented (and one failure poisons the runtime)
+        self._coarse_dev = (to_device(Z), jsl.lu_factor(to_device(E)))
 
     # ------------------------------------------------------------------
     def solve(self, x, b, hpddm_args: str = "") -> None:
@@ -360,7 +379,7 @@ class DDMSolver:
         opts = self.options
         A = self.distributed_operator
         method = opts.get("krylov_method", "gmres")
-        tol = float(opts.get("tol", 1e-8))
+        tol = float(opts.get("tol", 1e-6))
         max_it = int(opts.get("max_it", 100))
         restart = int(opts.get("gmres_restart", 40))
         verbosity = int(opts.get("verbosity", 0) or 0)
@@ -386,7 +405,7 @@ class DDMSolver:
             from .krylov import cg_device, gmres_device
             A_fn = A.build_device_apply()
             M_fn = self._device_preconditioner()
-            sub_dtypes = ([np.dtype(self._facto[0].dtype)]
+            sub_dtypes = ([np.dtype(self._facto[1][0].dtype)]
                           if self._facto is not None else [])
             sub_dtypes += [h["solver"].dtype for h in self._hier]
             dtype = np.result_type(A._result_dtype(b_arr.reshape(len(b_arr),
@@ -465,6 +484,14 @@ class DDMSolver:
 
 
 # ----------------------------------------------------------------------
+def idx_pad_arr(subs, P, mp, n):
+    """Padded (P, mp) global-index map; pad rows point at the dummy row n."""
+    idx_pad = np.full((P, mp), n, dtype=np.int64)
+    for i, s in enumerate(subs):
+        idx_pad[i, :s.size] = s.ovr_to_global
+    return idx_pad
+
+
 def _as_list(x, P):
     """Normalize a per-partition argument: allow bare arrays when P == 1."""
     if isinstance(x, PerPartition):

@@ -11,7 +11,9 @@ from __future__ import annotations
 
 DEFAULTS = {
     "krylov_method": "gmres",
-    "tol": 1e-8,
+    # HPDDM's documented default tolerance (option.hpp registry); ported
+    # user scripts that never pass -hpddm_tol get the same stop criterion
+    "tol": 1e-6,
     "max_it": 100,
     "gmres_restart": 40,
     "variant": "right",

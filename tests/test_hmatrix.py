@@ -208,6 +208,82 @@ def test_recompression():
     H.openmp_recompression(hmatrix)
 
 
+def _ring_geometry(n):
+    """Unit circle: strongly compressible for the 1/(0.1+r) kernel with
+    MANY admissible leaves (a random volume cloud at this scale has
+    nearly none, which would make recompression tests vacuous)."""
+    th = 2 * np.pi * np.arange(n) / n
+    return np.vstack([np.cos(th), np.sin(th), 0 * th])
+
+
+def test_recompression_custom_callback():
+    """`recompression(h, callback)` overload (reference
+    hmatrix.hpp:96-99): the per-leaf hook replaces factors (here an SVD
+    re-truncation at a looser eps) or returns None to keep the leaf."""
+    import scipy.linalg as sla
+
+    nb = 1200
+    target = _ring_geometry(nb)
+    builder = H.ClusterTreeBuilder()
+    builder.set_maximal_leaf_size(30)
+    tc = builder.create_cluster_tree(target, 2)
+    generator = CustomGenerator(target, target)
+    hmatrix = H.HMatrixTreeBuilder(1e-6, 10.0, "N", "N").build(
+        generator, tc, tc)
+    calls = {"n": 0, "replaced": 0}
+
+    def callback(U, V, eps):
+        calls["n"] += 1
+        if U.shape[1] <= 2:
+            return None  # keep tiny leaves untouched
+        Q, R = np.linalg.qr(U)
+        W, s, Zh = sla.svd(R @ V, full_matrices=False)
+        keep = max(int(np.sum(s > 1e-3 * s[0])), 1)
+        calls["replaced"] += 1
+        return Q @ W[:, :keep] * s[:keep], Zh[:keep]
+
+    info_before = hmatrix.get_local_information()
+    H.recompression(hmatrix, 1e-3, callback)
+    info_after = hmatrix.get_local_information()
+    assert calls["n"] > 0 and calls["replaced"] > 0
+    assert (float(info_after["Compression_ratio"])
+            >= float(info_before["Compression_ratio"]))
+    np.random.seed(0)
+    x = np.random.rand(nb)
+    y = hmatrix * x
+    y_exact = generator.mat_vec(x)
+    assert np.linalg.norm(y - y_exact) / np.linalg.norm(y_exact) < 5e-3
+
+
+def test_recompression_reclasses_ranks():
+    """Streaming recompression re-buckets by the NEW rank classes: after
+    a 1e-6 -> 1e-2 recompression the stored (padded) factor bytes must
+    shrink, not just the logical ranks."""
+    nb = 1200
+    target = _ring_geometry(nb)
+    builder = H.ClusterTreeBuilder()
+    builder.set_maximal_leaf_size(30)
+    tc = builder.create_cluster_tree(target, 2)
+    generator = CustomGenerator(target, target)
+    hmatrix = H.HMatrixTreeBuilder(1e-8, 10.0, "N", "N").build(
+        generator, tc, tc)
+
+    def padded_lr_bytes(h):
+        return sum(
+            (int(np.prod(u.shape)) + int(np.prod(v.shape)))
+            * u.dtype.itemsize for u, v, *_ in h._data["lr"])
+
+    before = padded_lr_bytes(hmatrix)
+    H.recompression(hmatrix, 1e-2)
+    after = padded_lr_bytes(hmatrix)
+    assert after < before
+    np.random.seed(0)
+    x = np.random.rand(nb)
+    y = hmatrix * x
+    y_exact = generator.mat_vec(x)
+    assert np.linalg.norm(y - y_exact) / np.linalg.norm(y_exact) < 1e-1
+
+
 def test_hmatrix_plot():
     import matplotlib
 

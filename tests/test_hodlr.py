@@ -109,6 +109,90 @@ def test_hodlr_rank_saturation_bounded():
                     max_sample_size=32)
 
 
+def test_hodlr_saturation_retries_with_fresh_seed_then_raises():
+    """Saturation triggers ONE fresh-seed retry of the level before the
+    raise: a genuinely full-rank operator saturates on both draws (the
+    retry's `rng.integers` reseed is observed), and the final error says
+    the retry happened."""
+    import jax.numpy as jnp
+
+    from htool_python_tpu.ops.hodlr import (HODLRRankSaturationError,
+                                            build_hodlr)
+
+    n = 600
+    rng = np.random.RandomState(11)
+    A = rng.rand(n, n) + n * np.eye(n)
+
+    def apply_fn(x, trans):
+        if trans == "N":
+            return jnp.asarray(A) @ x
+        return jnp.asarray(A).T @ x
+
+    class CountingRng:
+        def __init__(self):
+            self.inner = np.random.default_rng(0x5EED)
+            self.reseeds = 0
+
+        def standard_normal(self, shape):
+            return self.inner.standard_normal(shape)
+
+        def integers(self, high):
+            self.reseeds += 1
+            return self.inner.integers(high)
+
+    counting = CountingRng()
+    with pytest.raises(HODLRRankSaturationError, match="retry"):
+        build_hodlr(apply_fn, n, np.float64, 1e-12, leaf_size=64,
+                    max_sample_size=32, rng=counting)
+    assert counting.reseeds == 1
+
+
+def test_hodlr_robust_to_adversarial_probe_draw():
+    """A pathological probe draw cannot cause SPURIOUS saturation (the
+    captured rank of a level is bounded by the true block rank for any
+    draw: rank(Q Q^H A) <= rank(A)) — but an f32-OVERFLOWING draw can
+    poison the factors with NaN without saturating.  The build detects
+    non-finite factors and redraws with a fresh seed, so the adversarial
+    first draw still ends in a usable factorization.  (This is why a
+    natural 'fails seed 0' case needs a poisoned draw: rank-capture
+    failure alone is not constructible adversarially.)"""
+    import jax.numpy as jnp
+
+    from htool_python_tpu.ops.hodlr import build_hodlr, factor_hodlr, \
+        hodlr_solve
+
+    n = 512
+    rng0 = np.random.default_rng(7)
+    pts = np.sort(rng0.random(n))
+    A = (np.eye(n) * 2.0
+         + 1.0 / (50.0 * np.abs(pts[:, None] - pts[None, :]) + 1.0))
+    A = A.astype(np.float32)
+    Ad = jnp.asarray(A)
+
+    def apply_fn(x, trans):
+        M = Ad.T if trans == "T" else (Ad.conj().T if trans == "C" else Ad)
+        return M @ x
+
+    class ScaledRng:
+        def __init__(self, scale):
+            self.inner = np.random.default_rng(0)
+            self.scale = scale
+
+        def standard_normal(self, shape):
+            return self.inner.standard_normal(shape) * self.scale
+
+        def integers(self, high):
+            return self.inner.integers(high)
+
+    h = build_hodlr(apply_fn, n, np.float32, 1e-4, leaf_size=64,
+                    rng=ScaledRng(1e35), max_sample_size=64)
+    f = factor_hodlr(h)
+    b = jnp.asarray(rng0.standard_normal((n, 1)).astype(np.float32))
+    x = hodlr_solve(f, b, "N")
+    res = float(jnp.linalg.norm(Ad @ x - b) / jnp.linalg.norm(b))
+    assert res < 50 * 1e-4
+
+
 def test_hodlr_saturation_falls_back_to_dense_lu():
     """lu_factorization above the HODLR threshold falls back to the dense
     path (and still solves) when the operator is not HODLR-compressible."""
