@@ -162,7 +162,7 @@ class HMatrix:
             return self._data  # explicit XLA override beats the caches
         on_pallas = forced == "pallas" or jax.default_backend() == "tpu"
 
-        if self.dtype == np.complex64 and self.symmetry == "N":
+        if self.dtype == np.complex64:
             if self._planes_cache is None:
                 if not on_pallas or not planes_supported(
                         self._data, self._pad_len, 1, self.dtype,
@@ -204,7 +204,7 @@ class HMatrix:
 
         forced = get_config().matvec_backend
         on_pallas = forced == "pallas" or jax.default_backend() == "tpu"
-        if (self.dtype == np.complex64 and self.symmetry == "N"
+        if (self.dtype == np.complex64
                 and self._planes_cache is None and self._data is not None
                 and forced != "xla" and on_pallas
                 and planes_supported(self._data, self._pad_len, 1,

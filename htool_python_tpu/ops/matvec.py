@@ -244,19 +244,20 @@ def _apply_planes(cdata, x_pad, ny_pad: int, trans: str, sym: str,
     from .pallas_matvec import apply_hmatrix_pallas_complex
 
     return apply_hmatrix_pallas_complex(cdata, x_pad, ny_pad, trans,
-                                        interpret=interpret)
+                                        sym=sym, interpret=interpret)
 
 
 def planes_supported(data, L: int, k: int, x_dtype, sym: str) -> bool:
-    """complex64 Pallas fast path applicability: unsymmetric storage (an
-    'H' mirror needs an antisymmetric mode the kernel does not carry) and
-    the plane-pair windows must fit the kernel's VMEM budget."""
+    """complex64 Pallas fast path applicability: any symmetry ('H'
+    mirrors run the conjugate-transpose plane term with a negated
+    imaginary sign, csign_mirror) and the plane-pair windows must fit
+    the kernel's VMEM budget."""
     from .pallas_matvec import _bucket_sizes, _vmem_model_bytes, \
         _VMEM_BUDGET
 
     dtypes = ([d[0].dtype for d in data["dense"]]
               + [u.dtype for u, *_ in data["lr"]])
-    if not dtypes or sym != "N":
+    if not dtypes:
         return False
     if not all(dt == jnp.complex64 for dt in dtypes):
         return False

@@ -355,7 +355,7 @@ _N_BLOCKS = {"dense": 1, "lr": 2, "alr": 2, "cdense": 2, "clr": 4}
 
 
 def _step_body(kind, G, dims, blocks, bases, merged, swapped, sym, csign,
-               j0, meta_ref, x_ref, y_ref, g_proc=None):
+               j0, meta_ref, x_ref, y_ref, g_proc=None, csign_mirror=1.0):
     """One bucket's per-step work on g_proc (<= G) blocks starting at flat
     index j0: gather -> batched block term -> scatter-accumulate (+ mirror
     term for symmetric storage).  `blocks` are the step's VMEM refs.
@@ -426,8 +426,15 @@ def _step_body(kind, G, dims, blocks, bases, merged, swapped, sym, csign,
     if sym:
         xm = jnp.stack([load(x_ref, meta_ref[out_b + j0 + g], out_w)
                         for g in range(g_proc)])
-        mterm = _term_tr if not swapped else _term_fwd
-        outm = mterm(kind, mats, xm, dtype)  # (g_proc, k, in_w)
+        if cplx:
+            # hermitian ('H') storage mirrors with the CONJUGATE
+            # transpose: csign_mirror = -csign negates the imaginary
+            # planes of the opposite-direction term ('S' keeps +csign)
+            mterm = _cterm_tr if not swapped else _cterm_fwd
+            outm = mterm(kind, mats, xm, dtype, csign_mirror)
+        else:
+            mterm = _term_tr if not swapped else _term_fwd
+            outm = mterm(kind, mats, xm, dtype)  # (g_proc, k, in_w)
         for g in range(g_proc):
             accum(y_ref, meta_ref[in_b + j0 + g], in_w,
                   outm[g:g + 1].reshape(k, in_w)
@@ -476,7 +483,8 @@ def _fused_kernel(bucket_meta, resident, *refs):
 
     blk_pos = 0
     for b, (kind, start, steps, G, g_proc, j0_base, dims, swapped, sym,
-            csign, merged, bases, own_blocks) in enumerate(bucket_meta):
+            csign, csmir, merged, bases, own_blocks) in enumerate(
+            bucket_meta):
         nblk = 1 if merged else (2 if kind == "clr" else _N_BLOCKS[kind])
         if own_blocks:
             blocks = rest[blk_pos:blk_pos + nblk]
@@ -487,10 +495,10 @@ def _fused_kernel(bucket_meta, resident, *refs):
         @pl.when((i >= start) & (i < start + steps))
         def _(kind=kind, start=start, G=G, g_proc=g_proc, j0_base=j0_base,
               dims=dims, blocks=blocks, bases=bases, merged=merged,
-              swapped=swapped, sym=sym, csign=csign, i=i):
+              swapped=swapped, sym=sym, csign=csign, csmir=csmir, i=i):
             _step_body(kind, G, dims, blocks, bases, merged, swapped, sym,
                        csign, j0_base + (i - start) * G, meta_ref, x_ref,
-                       y_ref, g_proc=g_proc)
+                       y_ref, g_proc=g_proc, csign_mirror=csmir)
 
     if resident:
         @pl.when(i == pl.num_programs(0) - 1)
@@ -511,7 +519,8 @@ def _kernel_mode(interpret: bool) -> str:
     return get_config().matvec_kernel_mode
 
 
-def _launch_per_bucket(entries, xT, swapped, symmetric, csign, interpret):
+def _launch_per_bucket(entries, xT, swapped, symmetric, csign, interpret,
+                       csign_mirror=1.0):
     """One pallas_call per bucket, partial (k, L) outputs summed by XLA:
     every launch's double-buffered window gets the whole VMEM budget (no
     cross-bucket split), at the price of one kernel dispatch + an x/y
@@ -519,7 +528,8 @@ def _launch_per_bucket(entries, xT, swapped, symmetric, csign, interpret):
     block stream)."""
     out = None
     for e in entries:
-        y = _launch_fused([e], xT, swapped, symmetric, csign, interpret)
+        y = _launch_fused([e], xT, swapped, symmetric, csign, interpret,
+                          csign_mirror=csign_mirror)
         out = y if out is None else out + y
     return out
 
@@ -557,8 +567,9 @@ def apply_hmatrix_pallas(data, x_pad, ny_pad: int, trans: str, sym: str,
     return jnp.swapaxes(yT, 0, 1)
 
 
-@partial(jax.jit, static_argnames=("ny_pad", "trans", "interpret"))
+@partial(jax.jit, static_argnames=("ny_pad", "trans", "sym", "interpret"))
 def apply_hmatrix_pallas_complex(cdata, x_pad, ny_pad: int, trans: str,
+                                 sym: str = "N",
                                  interpret: bool = False):
     """complex64 product through the plane-split fused kernel
     (ops/matvec.py split_planes layout; unsymmetric storage only).
@@ -579,15 +590,19 @@ def apply_hmatrix_pallas_complex(cdata, x_pad, ny_pad: int, trans: str,
                          axis=1).astype(jnp.float32)
     xT = jnp.swapaxes(x2, 0, 1)  # (2k, L)
     csign = -1.0 if trans == "C" else 1.0
+    # mirror conjugation parity with the XLA path (ops/matvec.py):
+    # conj_mirror = (sym == 'H') != (trans == 'C')
+    csign_m = -1.0 if ((sym == "H") != (trans == "C")) else 1.0
+    symmetric = sym != "N"
     mode = _kernel_mode(interpret)
-    if mode == "seq":
+    if mode == "seq" and not symmetric:
         yT = _launch_seq(entries, xT, trans != "N", False, csign)
     elif mode == "per_bucket":
-        yT = _launch_per_bucket(entries, xT, trans != "N", False, csign,
-                                interpret)
+        yT = _launch_per_bucket(entries, xT, trans != "N", symmetric,
+                                csign, interpret, csign_mirror=csign_m)
     else:
-        yT = _launch_fused(entries, xT, trans != "N", False, csign,
-                           interpret)
+        yT = _launch_fused(entries, xT, trans != "N", symmetric, csign,
+                           interpret, csign_mirror=csign_m)
     y2 = jnp.swapaxes(yT, 0, 1)  # (L, 2k)
     return (y2[:, :k] + 1j * y2[:, k:]).astype(x_pad.dtype)
 
@@ -627,10 +642,8 @@ def _merge_bucket(kind, blocks):
 # vector ops hide under the DMA once steps are MBs (measured: a uniform
 # single-bucket r16 640-wide product runs at 718 GB/s vs the 768 GB/s
 # stream floor, tools/profile_matvec5_result.json).
-import os as _os
-
-_SEQ_STEP_BYTES = int(_os.environ.get("HTOOL_SEQ_STEP_BYTES", 4 << 20))
-_SEQ_MAX_GROUP = int(_os.environ.get("HTOOL_SEQ_MAX_GROUP", 96))
+_SEQ_STEP_BYTES = int(_os_env.environ.get("HTOOL_SEQ_STEP_BYTES", 4 << 20))
+_SEQ_MAX_GROUP = int(_os_env.environ.get("HTOOL_SEQ_MAX_GROUP", 96))
 
 
 def _launch_seq(entries, xT, swapped, symmetric, csign):
@@ -740,7 +753,8 @@ def _launch_seq(entries, xT, swapped, symmetric, csign):
     )(meta, *block_args, xT)
 
 
-def _launch_fused(entries, xT, swapped, symmetric, csign, interpret):
+def _launch_fused(entries, xT, swapped, symmetric, csign, interpret,
+                  csign_mirror=1.0):
     """Shared plumbing of the fused single-launch product: bucket windows,
     frozen index maps, scalar prefetch, one pallas_call.  xT is the
     transposed (k, L) real input; returns yT (k, L).
@@ -801,12 +815,13 @@ def _launch_fused(entries, xT, swapped, symmetric, csign, interpret):
         scalar_len += 3 * nb
         if steps_full:
             bucket_meta.append((kind, start, steps_full, G, G, 0, dims,
-                                swapped, symmetric, csign, merged, bases,
-                                True))
+                                swapped, symmetric, csign, csign_mirror,
+                                merged, bases, True))
         if tail:
             bucket_meta.append((kind, start + steps_full, 1, G, tail,
                                 steps_full * G, dims, swapped, symmetric,
-                                csign, merged, bases, not steps_full))
+                                csign, csign_mirror, merged, bases,
+                                not steps_full))
         for b in blocks:
             # frozen index map: constant block index outside this bucket's
             # grid range -> the pipeline does not re-DMA it

@@ -102,6 +102,52 @@ def test_complex64_planes_matches_xla(small_hmatrix, trans, mu):
     assert err < 1e-5, err
 
 
+@pytest.mark.parametrize("symmetry,UPLO,kernel_kind",
+                         [("H", "L", "hermitian"), ("H", "U", "hermitian"),
+                          ("S", "L", "symmetric")])
+@pytest.mark.parametrize("trans", ["N", "T", "C"])
+def test_complex64_symmetric_planes_matches_xla(small_hmatrix, symmetry,
+                                                UPLO, kernel_kind, trans):
+    """complex64 'H'/'S' storage through the plane kernel (r04 gap: these
+    fell back to the ~20x XLA path): the mirror term applies the
+    (conjugate-)transpose plane pair with csign_mirror, pinned against
+    the XLA path for every trans variant."""
+    points, cluster, gen = small_hmatrix
+    n = points.shape[1]
+    from htool_python_tpu.models.kernels import hermitian_phase_kernel
+    if kernel_kind == "hermitian":
+        kern = hermitian_phase_kernel(4.0)  # K(x,y) = conj(K(y,x))
+        cgen = H.KernelGenerator(kern, points, points, is_complex=True)
+    else:
+        # complex-SYMMETRIC kernel: K(x,y) = K(y,x) (distance phase)
+        d = np.linalg.norm(points[:, :, None] - points[:, None, :], axis=0)
+        A = (np.exp(1j * 2.0 * d) / (0.1 + d + np.eye(n))).astype(
+            np.complex64)
+        np.fill_diagonal(A, n)
+        cgen = H.MatrixGenerator(A)
+    hb = H.HMatrixTreeBuilder(1e-4, 10.0, symmetry, UPLO)
+    hb.set_dtype(np.complex64)
+    hm = hb.build(cgen, cluster, cluster)
+    rng = np.random.RandomState(9)
+    x = (rng.rand(n) + 1j * rng.rand(n)).astype(np.complex64)
+    cfg = get_config()
+    try:
+        cfg.matvec_backend = "xla"
+        y_ref = hm.matvec(x, trans=trans)
+        cfg.matvec_backend = "pallas"
+        from htool_python_tpu.ops.matvec import is_planes, resolve_backend
+        data = hm._product_data()
+        assert is_planes(data), "plane split not selected for c64 " \
+            + symmetry
+        assert resolve_backend(data, hm._pad_len, 1, np.complex64,
+                               symmetry) == "planes"
+        y_pal = hm.matvec(x, trans=trans)
+    finally:
+        cfg.matvec_backend = None
+    err = np.linalg.norm(y_pal - y_ref) / np.linalg.norm(y_ref)
+    assert err < 1e-5, err
+
+
 def test_aligned_layout_selected_for_f32(small_hmatrix):
     """f32 on the pallas backend uses the lane-aligned low-rank layout
     (ops/matvec.py align_lowrank): factors pre-shifted so the kernel's

@@ -228,16 +228,31 @@ def launcher() -> int:
                        "per_process_efficiency": t1[k] / tn[k]}
                    for k in t1}
         total_devs = N_PROCESSES * DEVICES_PER_PROCESS
-        report = {"processes": N_PROCESSES,
-                  "devices_per_process": DEVICES_PER_PROCESS,
-                  "scaling_n": int(os.environ.get("MH_SCALING_N",
-                                                  4096 * total_devs)),
-                  "scaling_proxy": scaling,
-                  "note": ("virtual CPU devices on one machine: a MECHANISM "
-                           "proxy (collective paths + distributed runtime), "
-                           "not real DCN/ICI performance")}
+        scaling_n = int(os.environ.get("MH_SCALING_N", 4096 * total_devs))
+        entry = {"processes": N_PROCESSES,
+                 "devices_per_process": DEVICES_PER_PROCESS,
+                 "scaling_n": scaling_n,
+                 "scaling_reps": SCALING_REPS,
+                 "scaling_proxy": scaling}
+        # KEYED record per configuration (round-5 fix: every run used to
+        # overwrite the whole file, so the amortized large-N measurement
+        # the README cites never survived the next small-N dryrun)
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "MULTIHOST_SCALING.json")
+        report = {"note": ("virtual CPU devices on one machine: a "
+                           "MECHANISM proxy (collective paths + "
+                           "distributed runtime), not real DCN/ICI "
+                           "performance"),
+                  "runs": {}}
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            if isinstance(prev.get("runs"), dict):
+                report["runs"] = prev["runs"]
+        except Exception:
+            pass
+        key = f"N{scaling_n}_P{N_PROCESSES}x{DEVICES_PER_PROCESS}"
+        report["runs"][key] = entry
         with open(path, "w") as f:
             json.dump(report, f, indent=1)
         print("scaling proxy:", json.dumps(scaling))
