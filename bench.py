@@ -341,6 +341,7 @@ def _stage_helmholtz():
 
 def _run_helmholtz(jax, jnp, np, N):
     import htool_python_tpu as H
+    from htool_python_tpu.config import get_config
     from htool_python_tpu.clustering.cluster import ClusterTreeBuilder
     from htool_python_tpu.hmatrix.generator import KernelGenerator
     from htool_python_tpu.hmatrix.hmatrix import HMatrixTreeBuilder
@@ -349,6 +350,12 @@ def _run_helmholtz(jax, jnp, np, N):
     )
     from htool_python_tpu.models.kernels import hermitian_phase_kernel
 
+    if N >= 90000:
+        # shrink the per-chunk assembly workspace near the chip's limit:
+        # the stored operator alone is ~3 GB at N=100k and the default
+        # chunk budget's complex workspaces are what pushed the fresh-
+        # process attempt over 16 GB (bench r5b failed_attempts)
+        get_config().assembly_chunk_elems = 1 << 27
     eps = 1e-6
     # surface cloud: the Helmholtz BEM regime this config models — volume
     # clouds at eps=1e-6 are barely compressible (measured ratio 2.96 at
@@ -473,8 +480,23 @@ def _stage_ddm(jax, jnp, np):
     info = solver.get_information()
     res = float(np.linalg.norm(approx.distributed_operator * x - f)
                 / np.linalg.norm(f))
+    # warm solve: the first call pays the GMRES-cycle compile over the
+    # remote link (tens of seconds); iteration throughput is the metric
+    # the per-iteration contract cares about (r04 verdict #3)
+    x2_ref = np.random.rand(N).astype(np.float32)
+    f2 = approx.distributed_operator * x2_ref
+    x2 = np.zeros(N, dtype=np.float32)
+    t0 = time.perf_counter()
+    solver.solve(x2, f2)
+    t_solve_warm = time.perf_counter() - t0
+    info2 = solver.get_information()
+    iters2 = max(int(info2["Nb_it"]), 1)
     return {"N": N, "partitions": P, "schwarz": "asm", "tol": tol,
             "setup_s": round(t_setup, 2), "solve_s": round(t_solve, 2),
+            "solve_warm_s": round(t_solve_warm, 2),
+            "warm_iterations": iters2,
+            "solve_warm_ms_per_iteration": round(
+                t_solve_warm * 1e3 / iters2, 1),
             "iterations": int(info["Nb_it"]),
             "achieved_residual": res}
 

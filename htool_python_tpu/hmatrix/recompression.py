@@ -107,8 +107,14 @@ def _recompress_streaming(hmatrix, eps: float) -> None:
         # QR/SVD workspace expands the operand ~8x; budget the chunk so
         # the transient stays bounded at Helmholtz scale
         cap = _chunk_cap((pt + ps) * r * 8, itemsize)
-        chunks, rank_parts = [], []
+        chunks, rank_devs = [], []
         ranks = np.asarray(ranks)
+        # NO per-chunk host syncs: the TPU sits behind a ~25 ms tunnel, so
+        # a rank readback per chunk serializes the whole pass on RTTs
+        # (BENCH r5b: 367 s recompression at Helmholtz N=85000, nearly all
+        # latency).  Chunks stay untrimmed (full width r) and the loop
+        # dispatches asynchronously; ONE readback of all ranks per bucket
+        # follows, and _pack_classes_jit does the trimming.
         for i0, i1, size in _chunk_slices(nb, cap):
             Uc = jnp.swapaxes(Ut[i0:i1], 1, 2)  # (c, pt, r)
             Vc = V[i0:i1]
@@ -119,11 +125,10 @@ def _recompress_streaming(hmatrix, eps: float) -> None:
                 Vc = jnp.pad(Vc, ((0, p), (0, 0), (0, 0)))
                 rc0 = jnp.pad(rc0, (0, p))
             U2, V2, r2 = _batched_truncate_jit(-1, Uc, Vc, rc0, eps_arr)
-            r2 = np.asarray(r2)[:i1 - i0]
-            w = max(int(r2.max(initial=0)), 1)
-            chunks.append((U2[:i1 - i0, :, :w], V2[:i1 - i0, :w, :]))
-            rank_parts.append(r2)
-        r_new = np.concatenate(rank_parts) if rank_parts else ranks
+            chunks.append((U2[:i1 - i0], V2[:i1 - i0]))
+            rank_devs.append(r2[:i1 - i0])
+        r_new = (np.asarray(jnp.concatenate(rank_devs))  # ONE readback
+                 if rank_devs else ranks)
         class_list = list(_rank_classes(r_new))
         widths = tuple(rc for rc, _ in class_list)
         bounds = np.cumsum([0] + [c[0].shape[0] for c in chunks])
