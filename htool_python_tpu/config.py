@@ -83,6 +83,18 @@ class Config:
     # workspace multiplier, and chunk count directly multiplies the
     # per-chunk dispatch+sync latency (expensive over a remote TPU link).
     assembly_chunk_elems: int = 1 << 28
+    # pre-warm the assembly's device programs from a thread pool before
+    # the fill (hmatrix/assembly.py _warm_device_programs).  Default OFF:
+    # measured on the remote TPU service, compiles/executable loads
+    # serialize server-side, so the thread pool buys no concurrency and
+    # pre-warming the SPECULATIVE stage-2 ladder programs (17 of the 22
+    # headline-plan jobs) pays ~0.4-0.7 s each for programs most
+    # assemblies never run — on-demand loading measured 20.3 s vs 25.4 s
+    # warm-cache assembly at N=40000 (HTOOL_TPU_WARMUP=1 re-enables for
+    # backends whose compile service parallelizes).
+    assembly_warmup: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get("HTOOL_TPU_WARMUP", "0")
+        == "1")
     # force ('pallas' | 'xla' | None=auto) the matvec kernel backend
     matvec_backend: str | None = None
     # lane-aligned low-rank Pallas layout (ops/matvec.py align_lowrank):

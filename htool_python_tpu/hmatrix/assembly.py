@@ -164,7 +164,7 @@ def assemble(plan: BlockPlan, generator, epsilon: float, reqrank: int = -1,
     t_all0 = time.perf_counter()
     # warm-up pays off where compiles/loads serialize over a remote link;
     # on CPU (tests) it would only add dummy work
-    if use_device and jax.default_backend() == "tpu":
+    if use_device and jax.default_backend() == "tpu" and cfg.assembly_warmup:
         t0 = time.perf_counter()
         _warm_device_programs(plan, generator, epsilon, reqrank, dtype, cfg)
         ASSEMBLY_PROFILE["warmup_s"] = round(time.perf_counter() - t0, 3)
@@ -410,6 +410,9 @@ def _host_lr_bucket(gen, b, perm_t, perm_s, t_base, s_base, epsilon,
     return Uarr, Varr, ranks, ok
 
 
+_WARMED: set = set()  # process-lifetime warm keys (see _warm_device_programs)
+
+
 def _warm_device_programs(plan, gen, epsilon, reqrank, dtype, cfg) -> None:
     """Fire every jitted device program the buckets will need, from a
     thread pool, BEFORE the real assembly runs.
@@ -421,7 +424,16 @@ def _warm_device_programs(plan, gen, epsilon, reqrank, dtype, cfg) -> None:
     ops/aca.py _ladder_size), so warming them concurrently collapses that
     wall-clock to ~the slowest single compile.  Dummy inputs use zero
     block sizes: every lockstep loop exits immediately, so each warm call
-    costs one trivial execution."""
+    costs one trivial execution.
+
+    Warm keys persist for the PROCESS (keyed by the jit static args:
+    generator, epsilon, reqrank, dtype): a multi-partition build sweep
+    (parallel/builders.py, one block row per partition) re-enters here P
+    times with mostly-identical program sets, and re-warming an
+    already-compiled program still pays a dispatch round-trip each —
+    skipping them amortizes the warm-up across the whole sweep
+    (reference analog: per-rank builds are independent MPI processes,
+    src/htool/distributed_operator/utility.hpp:26-32)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from ..ops.aca import (_batched_aca_jit, _batched_truncate_jit,
@@ -431,6 +443,10 @@ def _warm_device_programs(plan, gen, epsilon, reqrank, dtype, cfg) -> None:
     eps_arr = truncate_eps_array(0.5 * epsilon)
     dtype = np.dtype(dtype)
     t0 = time.perf_counter()
+    try:
+        base_key = (hash(gen), float(epsilon), int(reqrank), dtype.str)
+    except TypeError:  # unhashable generator: no cross-build sharing
+        base_key = None
 
     jobs = []  # (kind, size, pt, ps, rmax_or_None)
     seen = set()
@@ -438,6 +454,8 @@ def _warm_device_programs(plan, gen, epsilon, reqrank, dtype, cfg) -> None:
     def add(kind, size, pt, ps, rm=None):
         key = (kind, size, pt, ps, rm)
         if key not in seen:
+            if base_key is not None and base_key + key in _WARMED:
+                return
             seen.add(key)
             jobs.append(key)
 
@@ -500,6 +518,8 @@ def _warm_device_programs(plan, gen, epsilon, reqrank, dtype, cfg) -> None:
     workers = min(16 if dtype.itemsize <= 4 else 4, len(jobs))
     with ThreadPoolExecutor(max_workers=workers) as ex:
         list(ex.map(run, jobs))
+    if base_key is not None:
+        _WARMED.update(base_key + key for key in jobs)
     if _PROFILE:
         print(f"[assemble] warm-up of {len(jobs)} device programs: "
               f"{time.perf_counter() - t0:.2f}s")

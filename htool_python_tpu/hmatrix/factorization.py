@@ -147,6 +147,10 @@ def _user_solve(hmatrix, trans: str, b):
     """Solve in user numbering for root H-matrices (what `lu_solve` returns,
     hmatrix.hpp:64-78); sub-block H-matrices solve in internal numbering."""
     b = np.asarray(b)
+    n = hmatrix.plan.nb_rows
+    if len(b) != n:
+        raise ValueError(
+            f"rhs has {len(b)} rows; factorized operator expects {n}")
     if not hmatrix.is_root():
         return _solve_internal(hmatrix, trans, b)
     p = hmatrix.plan
@@ -162,8 +166,18 @@ def _user_solve(hmatrix, trans: str, b):
 
 
 def lu_solve(hmatrix, trans: str, b):
+    # reference signature is (trans char, rhs) — hmatrix.hpp:64; a clear
+    # error here beats the numpy truth-value failure a swapped call hits
+    if not isinstance(trans, str) or trans not in ("N", "T", "C"):
+        raise ValueError(
+            f"lu_solve(trans, b): trans must be 'N', 'T' or 'C', got "
+            f"{trans!r}")
     return _user_solve(hmatrix, trans, b)
 
 
 def cholesky_solve(hmatrix, UPLO: str, b):
+    if not isinstance(UPLO, str) or UPLO not in ("L", "U"):
+        raise ValueError(
+            f"cholesky_solve(UPLO, b): UPLO must be 'L' or 'U', got "
+            f"{UPLO!r}")
     return _user_solve(hmatrix, "N", b)

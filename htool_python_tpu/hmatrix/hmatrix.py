@@ -92,6 +92,10 @@ class HMatrix:
         self._planes_cache = None  # complex64 re/im plane split (TPU path)
         self._aligned_cache = None  # f32 lane-aligned low-rank layout
         self._compacted = False  # True once compact_for_products freed _data
+        # True when every low-rank leaf is an exact SVD triple (set by the
+        # builder for default assembly paths): recompression then runs the
+        # O(stored bytes) trim instead of the QR+SVD pass
+        self._lr_svd_form = False
 
         nt, ns = plan.nb_rows, plan.nb_cols
         maxdim = max([b.pt for b in plan.dense_buckets + plan.lowrank_buckets]
@@ -413,7 +417,12 @@ class HMatrix:
     def __deepcopy__(self, memo):
         new = object.__new__(HMatrix)
         new.plan = self.plan  # immutable plan shared
-        new._data = self._data  # jnp arrays immutable -> safe to share
+        # jnp arrays are immutable -> safe to share, but the CONTAINERS
+        # must be copied: recompression frees consumed buckets in place
+        # (data["lr"][bi] = None) and a shared dict would poison siblings
+        new._data = (None if self._data is None else
+                     {"dense": list(self._data["dense"]),
+                      "lr": list(self._data["lr"])})
         new._lr_ranks = [r.copy() for r in self._lr_ranks]
         new.epsilon = self.epsilon
         new.eta = self.eta
@@ -425,6 +434,7 @@ class HMatrix:
         new._planes_cache = self._planes_cache  # immutable device arrays
         new._aligned_cache = self._aligned_cache
         new._compacted = self._compacted
+        new._lr_svd_form = self._lr_svd_form
         new._pad_len = self._pad_len
         return new
 
@@ -674,5 +684,11 @@ class HMatrixTreeBuilder:
         new_plan, dense_arrays, lr_arrays, lr_ranks = assemble(
             plan, generator, self.epsilon, self.reqrank,
             self._low_rank_generator, self._dense_blocks_generator, dtype)
-        return HMatrix(new_plan, dense_arrays, lr_arrays, lr_ranks,
-                       self.epsilon, dtype)
+        h = HMatrix(new_plan, dense_arrays, lr_arrays, lr_ranks,
+                    self.epsilon, dtype)
+        # both default compression paths (device ACA/SVD + host SVD) end
+        # in an SVD-based truncation, so every leaf is an SVD triple and
+        # recompression may take the O(stored bytes) fast path; custom
+        # low-rank hooks produce factors of unknown form
+        h._lr_svd_form = self._low_rank_generator is None
+        return h

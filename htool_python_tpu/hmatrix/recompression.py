@@ -17,6 +17,9 @@ host leaf-by-leaf (a parity surface, not the hot path).
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -73,8 +76,92 @@ def recompression(hmatrix, epsilon: float | None = None,
     eps = float(epsilon) if epsilon is not None else hmatrix.epsilon
     if callback is not None:
         _recompress_with_callback(hmatrix, eps, callback)
+        hmatrix._lr_svd_form = False  # user factors: form unknown
+        return
+    if getattr(hmatrix, "_lr_svd_form", False):
+        _recompress_svd_form(hmatrix, eps)
         return
     _recompress_streaming(hmatrix, eps)
+
+
+@jax.jit
+def _svd_form_ranks_jit(Ut, eps):
+    """Post-truncation ranks for SVD-form factors: row i of rank-major Ut
+    is sigma_i * u_i, so the row norms ARE the block's singular values
+    (descending; pad rows are zero).  One cheap read of U per bucket."""
+    s2 = jnp.sum(jnp.abs(Ut) ** 2, axis=2)  # (nb, r) real
+    total = jnp.sum(s2, axis=1, keepdims=True)
+    tail = jnp.cumsum(s2[:, ::-1], axis=1)[:, ::-1]
+    keep = tail > (eps * eps) * jnp.maximum(total,
+                                            jnp.finfo(s2.dtype).tiny)
+    return jnp.sum(keep, axis=1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("widths",))
+def _trim_classes_jit(widths, Ut, V, class_sels, r_new):
+    """Gather each rank class's blocks and trim to the class width — a
+    LEADING-axis slice in the rank-major storage layout, no transpose.
+    Rows in [new_rank, width) carried live (now-truncated) components, so
+    they are masked to zero (the product kernels stream padded widths and
+    rely on zero padding, ops/matvec.py)."""
+    outs = []
+    for w, sel in zip(widths, class_sels):
+        # stored arrays can be NARROWER than their rank class (host-path
+        # assembly packs at the bucket's actual rmax): clamp like the
+        # product kernels do
+        we = min(w, Ut.shape[1])
+        rk = r_new[sel]
+        mask = (jnp.arange(we)[None, :, None] < rk[:, None, None])
+        outs.append((Ut[sel][:, :we, :] * mask.astype(Ut.dtype),
+                     V[sel][:, :we, :] * mask.astype(V.dtype)))
+    return outs
+
+
+def _recompress_svd_form(hmatrix, eps: float) -> None:
+    """O(stored bytes) recompression for SVD-form factors.
+
+    Every default assembly path ends in the batched QR+SVD truncation
+    (ops/aca.py _batched_truncate_jit, hmatrix/assembly.py _host_truncate),
+    which leaves each leaf as an exact SVD triple: U = Q W diag(s) with
+    orthonormal Q W, V with orthonormal rows.  Re-truncating such a pair
+    at a new epsilon needs NO factorization — the singular values are the
+    row norms of the stored rank-major Ut, the tail-energy criterion picks
+    the new rank, and trimming is a leading-axis slice plus re-classing.
+    This replaces the chunked QR+SVD pass (258 s at Helmholtz N=100k,
+    BENCH r5 run1) with ~3 reads of the stored factors (sub-second device
+    time).  Operators whose factors came from user hooks
+    (`VirtualLowRankGenerator`, recompression callbacks) keep
+    `_lr_svd_form = False` and take the general streaming path."""
+    from ..ops.aca import truncate_eps_array
+    from ..ops.matvec import RankMajorFactors
+    from .assembly import _rank_classes, _subset_bucket
+
+    data = hmatrix._assembly_data()
+    eps_arr = truncate_eps_array(eps)
+    # dispatch every bucket's rank computation before any readback: each
+    # readback costs a tunnel RTT and the computations are independent
+    rank_devs = [_svd_form_ranks_jit(Ut, eps_arr)
+                 for (Ut, V, *_) in data["lr"]]
+    new_buckets, new_arrays, new_ranks = [], [], []
+    for bi, ((Ut, V, *_), b) in enumerate(
+            zip(list(data["lr"]), hmatrix.plan.lowrank_buckets)):
+        r_new = np.asarray(rank_devs[bi])
+        class_list = list(_rank_classes(r_new))
+        widths = tuple(rc for rc, _ in class_list)
+        sels = tuple(jnp.asarray(sk.astype(np.int32))
+                     for _, sk in class_list)
+        outs = _trim_classes_jit(widths, Ut, V, sels,
+                                 jnp.asarray(r_new.astype(np.int32)))
+        for (rc, sk), (Ut_c, V_c) in zip(class_list, outs):
+            new_buckets.append(_subset_bucket(b, sk))
+            new_arrays.append(RankMajorFactors(Ut_c, V_c))
+            new_ranks.append(r_new[sk].astype(np.int32))
+        if new_arrays:
+            jax.block_until_ready(new_arrays[-1][0])
+        data["lr"][bi] = None  # bound peak memory to ~one bucket extra
+    hmatrix._set_lr_structure(new_buckets, new_arrays, new_ranks)
+    # trimmed SVD triples are still SVD triples
+    hmatrix._lr_svd_form = True
 
 
 def _recompress_streaming(hmatrix, eps: float) -> None:
@@ -153,6 +240,9 @@ def _recompress_streaming(hmatrix, eps: float) -> None:
         # N=100k on the 16 GB chip)
         data["lr"][bi] = None
     hmatrix._set_lr_structure(new_buckets, new_arrays, new_ranks)
+    # the batched truncation emits SVD triples: later recompressions of
+    # this operator can take the O(stored bytes) fast path
+    hmatrix._lr_svd_form = True
 
 
 def openmp_recompression(hmatrix, epsilon: float | None = None,

@@ -47,6 +47,7 @@ class DistributedOperator:
              for p in range(self.n_partitions)], dtype=np.int64)
         self._local_to_local = [None] * self.n_partitions
         self._global_to_local = [[] for _ in range(self.n_partitions)]
+        self._device_apply_cache = None  # memoized build_device_apply
 
     # ------------------------------------------------------------------
     @property
@@ -68,6 +69,7 @@ class DistributedOperator:
             partition = self._partition_of_target_offset(
                 op.local_target_renumbering.offset)
         self._local_to_local[partition] = op
+        self._device_apply_cache = None
 
     def add_global_to_local_operator(self, op: RestrictedGlobalToLocalOperator,
                                      partition: int | None = None) -> None:
@@ -75,6 +77,7 @@ class DistributedOperator:
             partition = self._partition_of_target_offset(
                 op.local_target_renumbering.offset)
         self._global_to_local[partition].append(op)
+        self._device_apply_cache = None
 
     # ------------------------------------------------------------------
     def _apply_partition_internal(self, p: int, x_int: np.ndarray,
@@ -179,10 +182,22 @@ class DistributedOperator:
         if not self.device_apply_available():
             raise ValueError("distributed operator holds custom Python local "
                              "operators; device apply unavailable")
+        # Memoized: the apply's IDENTITY is the jit-cache key for every
+        # outer program built on it (the GMRES restart cycle above all —
+        # rebuilding it per solve() forced a re-trace + compile-cache
+        # round-trip of the whole cycle each call, the r04 ddm_gmres
+        # 0.7 s/iteration).  The cache is dropped when operators are
+        # added; H-matrix mutation (e.g. recompression) is caught by the
+        # _product_data identity check below.
+        cached = self._device_apply_cache
+        if cached is not None and all(
+                h._product_data() is d for h, d in cached._hmatrix_pieces):
+            return cached
         # static per-piece layout: (t_off, t_sz, s_off, s_sz, apply(data, seg))
         pieces = []
         op_dtypes = []
         piece_data = []
+        hmatrix_pieces = []
         for p in range(self.n_partitions):
             t_off, t_sz = int(self.t_offsets[p]), int(self.t_sizes[p])
             ops = list(self._global_to_local[p])
@@ -196,6 +211,7 @@ class DistributedOperator:
                     fn = (lambda data, seg, _h=h:
                           _h.matvec_internal(seg, "N", data=data))
                     piece_data.append(h._product_data())
+                    hmatrix_pieces.append((h, piece_data[-1]))
                     op_dtypes.append(h.dtype)
                 else:
                     fn = (lambda data, seg: data @ seg)
@@ -229,6 +245,8 @@ class DistributedOperator:
             return y
 
         apply.operands = operands
+        apply._hmatrix_pieces = tuple(hmatrix_pieces)
+        self._device_apply_cache = apply
         return apply
 
     # ------------------------------------------------------------------

@@ -135,6 +135,8 @@ class DDMSolver:
         self._weights = None  # {'ras': (P,mp), 'asm': (P,mp)} device arrays
         self._coarse = None  # (Z (n, nc) numpy, scipy E_lu) — host path
         self._coarse_dev = None  # (Z device, jax E_lu) — device path
+        self._precond_cache = {}  # memoized device preconditioner surfaces
+        self._left_compose = None  # memoized left-variant composition
         self._info = {}
 
     # ------------------------------------------------------------------
@@ -220,6 +222,8 @@ class DDMSolver:
             # weights dict must exist for _device_preconditioner bookkeeping
             self._weights = {}
         self._facto_done = True
+        self._precond_cache.clear()  # stale solver surfaces
+        self._left_compose = None
 
     # ------------------------------------------------------------------
     def _one_level_state(self, method: str):
@@ -290,6 +294,15 @@ class DDMSolver:
         if not use_one and not use_coarse:
             return None
 
+        # Memoized per configuration: the returned object's IDENTITY keys
+        # the compiled Krylov cycle (solvers/krylov.py _CYCLE_CACHE) — a
+        # fresh closure per solve() would re-trace the whole cycle each
+        # call.  Invalidated by facto_one_level / build_coarse_space.
+        cache_key = (method, use_one, use_coarse)
+        cached = self._precond_cache.get(cache_key)
+        if cached is not None:
+            return cached
+
         operands = {}
         if use_one:
             operands["one"] = self._one_level_state(method)
@@ -313,6 +326,7 @@ class DDMSolver:
             return z.astype(r2d.dtype)
 
         M.operands = operands
+        self._precond_cache[cache_key] = M
         return M
 
     def _apply_one_level(self, r: np.ndarray, method: str) -> np.ndarray:
@@ -365,6 +379,8 @@ class DDMSolver:
         # jnp.asarray is the host->device transfer the remote TPU backend
         # leaves unimplemented (and one failure poisons the runtime)
         self._coarse_dev = (to_device(Z), jsl.lu_factor(to_device(E)))
+        self._precond_cache.clear()  # stale solver surfaces
+        self._left_compose = None
 
     # ------------------------------------------------------------------
     def solve(self, x, b, hpddm_args: str = "") -> None:
@@ -419,8 +435,14 @@ class DDMSolver:
                 if b_arr.ndim == 1:
                     b_solve = b_solve[:, 0]
                 # operand-preserving composition: both operators' device
-                # state stays a jit ARGUMENT of the solver cycle
-                A_fn = compose_operators(M_fn, A_fn)
+                # state stays a jit ARGUMENT of the solver cycle; memoized
+                # so repeated solves reuse the compiled cycle
+                comp = self._left_compose
+                if (comp is None or comp[0] is not M_fn
+                        or comp[1] is not A_fn):
+                    comp = (M_fn, A_fn, compose_operators(M_fn, A_fn))
+                    self._left_compose = comp
+                A_fn = comp[2]
                 M_fn = None
             if method == "cg":
                 xs, info = cg_device(A_fn, b_solve, M_fn=M_fn, tol=tol,

@@ -21,11 +21,35 @@ Two tiers:
 
 from __future__ import annotations
 
+import weakref
 from functools import partial
 
 import numpy as np
 
 from ..utils.complex_io import to_device, to_host
+
+# Compiled-cycle cache keyed on the OPERATOR's identity: rebuilding the
+# cycle closure per solve() call forces jax to re-trace (and reload from
+# the compilation cache over the remote link) the entire restart-cycle
+# program each time — measured ~20 s per ddm_gmres solve at N=20000 where
+# the cycle EXECUTION is ~0.1 s.  Callers that pass the same A_fn/M_fn
+# objects (DDMSolver caches its solver surfaces; DistributedOperator
+# memoizes build_device_apply) reuse the compiled cycle across solves.
+_CYCLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _cached_program(A_fn, M_fn, key, build):
+    try:
+        per = _CYCLE_CACHE.setdefault(A_fn, {})
+    except TypeError:  # non-weakref-able operator: no caching
+        return build()
+    ent = per.get(key)
+    # the stored strong M_fn reference makes the identity check sound
+    # (a GC'd M_fn cannot alias a live one)
+    if ent is None or ent[0] is not M_fn:
+        ent = (M_fn, build())
+        per[key] = ent
+    return ent[1]
 
 
 def _norm(v):
@@ -233,7 +257,9 @@ def gmres_device(A_fn, b, M_fn=None, tol=1e-6, max_it=100, restart=40,
     n, k = b2.shape
     bnorm = _cols_norm(b2)
     restart = max(1, min(int(restart), int(max_it)))
-    cycle = _make_gmres_cycle(A_fn, M_fn, restart, int(max_it))
+    cycle = _cached_program(
+        A_fn, M_fn, ("gmres", restart, int(max_it)),
+        lambda: _make_gmres_cycle(A_fn, M_fn, restart, int(max_it)))
     A_call, a_ops = _bind_operator(A_fn)
     _, m_ops = _bind_operator(M_fn if M_fn is not None else _noop)
 
@@ -285,7 +311,7 @@ def cg_device(A_fn, b, M_fn=None, tol=1e-6, max_it=100, verbosity=0,
     tol_arr = jnp.asarray(tol, dtype=bnorm.dtype)
 
     @jax.jit
-    def run(a_ops, m_ops, b2, bnorm):
+    def _cg_run(a_ops, m_ops, b2, bnorm, tol_arr):
         A_fn = lambda v: A_call(a_ops, v)
         Mi = lambda v: M_call(m_ops, v)
         x0 = jnp.zeros_like(b2)
@@ -324,7 +350,8 @@ def cg_device(A_fn, b, M_fn=None, tol=1e-6, max_it=100, verbosity=0,
                                (x0, r0, z0, p0, rz0, conv0, it0, niter0))
         return c[0], c[5], c[7]
 
-    x, conv, niter = run(a_ops, m_ops, b2, bnorm)
+    run = _cached_program(A_fn, M_fn, ("cg", int(max_it)), lambda: _cg_run)
+    x, conv, niter = run(a_ops, m_ops, b2, bnorm, tol_arr)
     r = b2 - A_call(a_ops, x)
     res = np.asarray(_cols_norm(r) / np.where(np.asarray(bnorm) > 0,
                                               np.asarray(bnorm), 1.0))

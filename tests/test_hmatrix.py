@@ -255,6 +255,61 @@ def test_recompression_custom_callback():
     assert np.linalg.norm(y - y_exact) / np.linalg.norm(y_exact) < 5e-3
 
 
+def test_recompression_svd_form_fast_path():
+    """Default-assembly factors are SVD triples (every compression path
+    ends in an SVD-based truncation), so recompression takes the
+    O(stored bytes) trim (`_recompress_svd_form`) instead of the QR+SVD
+    pass.  Pin: (a) the fast path is selected, (b) it matches the general
+    streaming path rank-for-rank, (c) deepcopies recompress independently
+    (the shared-_data aliasing regression)."""
+    import copy
+
+    nb = 1200
+    target = _ring_geometry(nb)
+    builder = H.ClusterTreeBuilder()
+    builder.set_maximal_leaf_size(30)
+    tc = builder.create_cluster_tree(target, 2)
+    generator = CustomGenerator(target, target)
+    hmatrix = H.HMatrixTreeBuilder(1e-8, 10.0, "N", "N").build(
+        generator, tc, tc)
+    assert hmatrix._lr_svd_form  # default path => fast recompression
+
+    h_fast = copy.deepcopy(hmatrix)
+    h_slow = copy.deepcopy(hmatrix)
+    h_slow._lr_svd_form = False  # force the general streaming path
+    H.recompression(h_fast, 1e-3)
+    H.recompression(h_slow, 1e-3)
+    assert h_fast._lr_svd_form  # trimmed SVD triples stay SVD triples
+
+    rank_sum = lambda h: sum(int(np.sum(r)) for r in h._lr_ranks)
+    s_fast, s_slow, s_orig = rank_sum(h_fast), rank_sum(h_slow), \
+        rank_sum(hmatrix)
+    assert s_fast < s_orig  # it actually recompressed
+    # both paths apply the same tail-energy criterion to the same
+    # singular values — ranks agree (tiny fp slack on boundary values)
+    assert abs(s_fast - s_slow) <= max(1, s_slow // 200)
+
+    np.random.seed(0)
+    x = np.random.rand(nb)
+    y_exact = generator.mat_vec(x)
+    for h in (h_fast, h_slow):
+        y = h * x
+        assert np.linalg.norm(y - y_exact) / np.linalg.norm(y_exact) < 5e-3
+    # the original operator is untouched by recompressing its deepcopies
+    y0 = hmatrix * x
+    assert np.linalg.norm(y0 - y_exact) / np.linalg.norm(y_exact) < 1e-6
+
+    # a custom low-rank hook yields factors of unknown form: no fast path
+    class _Lrg(H.VirtualLowRankGenerator):
+        def build_low_rank_approximation(self, rows, cols, epsilon):
+            return False  # densify everything
+
+    h_custom = H.HMatrixTreeBuilder(
+        1e-3, 10.0, "N", "N",
+        low_rank_strategy=_Lrg()).build(generator, tc, tc)
+    assert not h_custom._lr_svd_form
+
+
 def test_recompression_reclasses_ranks():
     """Streaming recompression re-buckets by the NEW rank classes: after
     a 1e-6 -> 1e-2 recompression the stored (padded) factor bytes must
