@@ -372,6 +372,7 @@ def _run_helmholtz(jax, jnp, np, N):
     hm = hb.build(gen, cluster, cluster)
     jax.block_until_ready(hm._data)
     t_assembly = time.perf_counter() - t0
+    helm_breakdown = _assembly_breakdown()
     t0 = time.perf_counter()
     H.recompression(hm)
     jax.block_until_ready(hm._data)
@@ -432,6 +433,7 @@ def _run_helmholtz(jax, jnp, np, N):
             "stored_bytes": int(stored_bytes),
             "matvec_backend": backend,
             "assembly_s": round(t_assembly, 2),
+            "assembly_breakdown": helm_breakdown,
             "recompression_s": round(t_recomp, 2),
             "matvec_device_ms": round(t_mv_dev * 1e3, 3),
             "matvec_e2e_ms": round(t_mv * 1e3, 2),
@@ -462,14 +464,19 @@ def _stage_ddm(jax, jnp, np):
     hb.set_dtype(np.float32)
     t0 = time.perf_counter()
     approx = DefaultApproximationBuilder(gen, cluster, cluster, hb, None)
+    t_build = time.perf_counter() - t0
     builder = H.DDMSolverBuilder(approx.distributed_operator,
                                  approx.block_diagonal_hmatrix)
+    t_extract = time.perf_counter() - t0 - t_build
     solver = builder.solver
     solver.set_hpddm_args(
         "-hpddm_krylov_method gmres -hpddm_schwarz_method asm "
         f"-hpddm_max_it 300 -hpddm_gmres_restart 60 -hpddm_tol {tol}")
     solver.facto_one_level()
     t_setup = time.perf_counter() - t0
+    setup_split = {"block_rows_s": round(t_build, 2),
+                   "extract_diag_s": round(t_extract, 2),
+                   "facto_s": round(t_setup - t_build - t_extract, 2)}
 
     x_ref = np.random.rand(N).astype(np.float32)
     f = approx.distributed_operator * x_ref
@@ -492,7 +499,8 @@ def _stage_ddm(jax, jnp, np):
     info2 = solver.get_information()
     iters2 = max(int(info2["Nb_it"]), 1)
     return {"N": N, "partitions": P, "schwarz": "asm", "tol": tol,
-            "setup_s": round(t_setup, 2), "solve_s": round(t_solve, 2),
+            "setup_s": round(t_setup, 2), "setup_split": setup_split,
+            "solve_s": round(t_solve, 2),
             "solve_warm_s": round(t_solve_warm, 2),
             "warm_iterations": iters2,
             "solve_warm_ms_per_iteration": round(
