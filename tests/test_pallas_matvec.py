@@ -179,3 +179,46 @@ def test_aligned_layout_selected_for_f32(small_hmatrix):
         cfg.matvec_aligned_layout = False
     err = np.linalg.norm(y_al - y_ref) / np.linalg.norm(y_ref)
     assert err < 1e-6, err
+
+
+def test_wide_k_column_chunk_fallback(small_hmatrix):
+    """Wide-RHS requests re-check kernel VMEM fit at the ACTUAL k and fall
+    back to column chunks (ops/matvec.py _max_fit_k/_apply_col_chunks) —
+    the r04 advisor finding: cached product layouts were validated at k=1
+    only, and a later wide apply (HODLR peeling pushes 128-column chunks)
+    must not die at kernel compile time."""
+    import jax.numpy as jnp
+
+    from htool_python_tpu.ops.matvec import (_apply_col_chunks, _max_fit_k,
+                                             apply_hmatrix, resolve_backend)
+
+    points, cluster, gen = small_hmatrix
+    hb = H.HMatrixTreeBuilder(1e-4, 10.0, "N", "N")
+    hb.set_dtype(np.float32)
+    hm = hb.build(gen, cluster, cluster)
+    n = hm.shape[0]
+    L = hm._pad_len
+    cfg = get_config()
+    try:
+        cfg.matvec_backend = "pallas"
+        data = hm._product_data()
+        backend = resolve_backend(data, L, 1, np.float32)
+        k = 8
+        x_pad = jnp.zeros((L, k), jnp.float32).at[:n].set(
+            jnp.asarray(np.random.rand(n, k).astype(np.float32)))
+        y_full = apply_hmatrix(data, x_pad, L, "N", "N", backend)
+        # the chunked fallback path must agree with the one-shot kernel
+        y_chunked = _apply_col_chunks(
+            lambda xc: apply_hmatrix(data, xc, L, "N", "N", backend),
+            x_pad, 2)
+        assert y_chunked.shape == y_full.shape
+        err = (np.linalg.norm(np.asarray(y_chunked - y_full))
+               / np.linalg.norm(np.asarray(y_full)))
+        assert err < 1e-6, err
+    finally:
+        cfg.matvec_backend = None
+
+    # _max_fit_k walks down to the largest fitting power of two (floor 1)
+    assert _max_fit_k(lambda kk: kk <= 3, 16) == 2
+    assert _max_fit_k(lambda kk: True, 16) == 16
+    assert _max_fit_k(lambda kk: False, 16) == 1
